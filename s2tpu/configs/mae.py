@@ -1,0 +1,133 @@
+"""Prithvi MAE pretrain/finetune config (parity: src/configs/prithvi_mae_finetune.py).
+
+Carries over the MAE linear LR-scaling rule ``lr = base * effective_bs / 256``
+where the effective batch size is ``batch_size * num_devices`` — here the
+device count is the data-parallel mesh size, so the rule is exercised for
+real multi-chip runs rather than being latent as in the reference
+(prithvi_mae_finetune.py:117-118).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import jax
+
+
+class MAELRSchedulerType(str, enum.Enum):
+    STEP = "step"
+    COSINE_WARM_RESTARTS = "cosine_warm_restarts"
+
+
+@dataclass
+class MAEDatasetConfig:
+    aoi: str
+    n_time_frames: int = 1
+    data_dir: str | None = None
+
+
+@dataclass
+class MAEDatamoduleConfig:
+    dataset_cfg: MAEDatasetConfig
+    batch_size: int = 32
+    augment: bool = True
+    data_split: tuple[float, float, float] = (0.8, 0.2, 0.0)
+    val_batch_size_multiplier: int = 2
+    random_crop_size: int = 224
+    prefetch: int = 2
+    shuffle_seed: int = 0
+
+
+@dataclass
+class MAEModelConfig:
+    num_frames: int = 1
+    mask_ratio: float = 0.75
+    norm_pix_loss: bool = False
+
+
+@dataclass
+class MAETrainConfig:
+    from_scratch: bool = False
+    lr: float = 5e-4
+    weight_decay: float = 0.05
+    betas: tuple[float, float] = (0.9, 0.999)
+
+    compute_dtype: str = "float32"
+    remat: bool = False
+    donate_state: bool = True
+
+    max_epochs: int = -1
+    log_interval: int = 50
+    num_devices: int = -1
+    overfit_batches: int = 0
+
+    use_wandb_logger: bool = True
+    project_name: str = "prithvi-mae-finetune"
+    wandb_entity: str | None = None
+    run_name: str | None = None
+    tags: list[str] = field(default_factory=list)
+    log_img_in_train: bool = False
+
+    seed: int = 42
+
+    lr_scheduler_type: MAELRSchedulerType | None = None
+    step_lr_sched_step_size: int | None = None
+    step_lr_sched_gamma: float | None = None
+    cosine_warm_restarts_T_0: int | None = None
+    cosine_warm_restarts_eta_min: float | None = None
+
+    ckpt_every_n_epochs: int = 1
+    ckpt_keep: int = 1
+
+
+@dataclass
+class MAEConfig:
+    model: MAEModelConfig
+    datamodule: MAEDatamoduleConfig
+    train: MAETrainConfig
+
+
+def base_config(aoi: str = "at") -> MAEConfig:
+    return MAEConfig(
+        model=MAEModelConfig(num_frames=1),
+        datamodule=MAEDatamoduleConfig(dataset_cfg=MAEDatasetConfig(aoi=aoi)),
+        train=MAETrainConfig(),
+    )
+
+
+def _effective_bs(config: MAEConfig) -> int:
+    n = config.train.num_devices
+    if n == -1:
+        n = jax.device_count()
+    return config.datamodule.batch_size * n
+
+
+def pretrain(config: MAEConfig) -> MAEConfig:
+    config.train.from_scratch = True
+    config.datamodule.batch_size = 64
+    config.train.lr = 1.5e-4 * _effective_bs(config) / 256  # MAE pretrain base-lr rule
+    return config
+
+
+def finetune(config: MAEConfig) -> MAEConfig:
+    config.train.from_scratch = False
+    config.datamodule.batch_size = 64
+    config.train.lr = 5e-4 * _effective_bs(config) / 256  # MAE finetune base-lr rule
+    return config
+
+
+def debug(config: MAEConfig) -> MAEConfig:
+    config.train.num_devices = 1
+    config.datamodule.batch_size = 1
+    config.train.log_img_in_train = True
+    config.train.tags.append("debug")
+    return config
+
+
+def overfit(config: MAEConfig) -> MAEConfig:
+    config.train.overfit_batches = 1
+    config.datamodule.augment = False
+    config.train.log_img_in_train = True
+    config.train.tags.append("overfit")
+    return config

@@ -1,0 +1,209 @@
+"""Segmentation experiment config tree: base -> model preset -> run-type -> CLI.
+
+Mirrors the reference's layered dataclass+partial composition
+(src/configs/segmentation.py:33-204) with TPU-native training knobs:
+``torch.compile`` flags become jit/remat options, Lightning ``devices``
+becomes a mesh spec, ``precision`` becomes an explicit compute dtype.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import typing
+from dataclasses import dataclass, field
+
+from s2tpu.configs.data_config import LABEL_MAPS
+
+
+class ModelName(str, enum.Enum):
+    FC_PRITHVI_BACKBONE = "fc-prithvi-backbone"
+    EFFICIENTNET_UNET_B0 = "efficientnet-unet-b0"
+    EFFICIENTNET_UNET_B1 = "efficientnet-unet-b1"
+    EFFICIENTNET_UNET_B2 = "efficientnet-unet-b2"
+    EFFICIENTNET_UNET_B3 = "efficientnet-unet-b3"
+    EFFICIENTNET_UNET_B4 = "efficientnet-unet-b4"
+    EFFICIENTNET_UNET_B5 = "efficientnet-unet-b5"
+    EFFICIENTNET_UNET_B6 = "efficientnet-unet-b6"
+    EFFICIENTNET_UNET_B7 = "efficientnet-unet-b7"
+
+
+class LossType(str, enum.Enum):
+    CE = "ce"
+    FOCAL = "focal"
+    DICE = "dice"
+    DICE_FOCAL = "dice_focal"
+
+
+class LRSchedulerType(str, enum.Enum):
+    STEP = "step"
+    COSINE = "cosine"
+
+
+@dataclass
+class DatasetConfig:
+    aoi: str
+    label_map: str
+    n_time_frames: int = 1
+    squeeze_time_dim: bool = False  # (C,H,W) vs (C,1,H,W) per-sample shape
+    data_dir: str | None = None  # override DATA_DIR (tests / packed corpora)
+
+
+@dataclass
+class DatamoduleConfig:
+    dataset_cfg: DatasetConfig
+    batch_size: int
+    data_split: tuple[float, float, float]
+    val_batch_size_multiplier: int = 2
+    augment: bool = True
+    random_horizontal_flip_p: float = 0.5
+    random_vertical_flip_p: float = 0.5
+    random_crop_size: int = 224
+    class_distribution: list[float] | None = None  # enables weighted sampling
+    prefetch: int = 2  # host->device prefetch depth
+    shuffle_seed: int = 0
+
+
+@dataclass
+class TrainConfig:
+    # optimizer
+    lr: float = 1.5e-6
+    weight_decay: float = 0.05
+    betas: tuple[float, float] = (0.9, 0.999)
+
+    # loss
+    loss_type: LossType = LossType.CE
+    masked_loss: bool = True  # ignore class 0 (unlabeled) in loss + metrics
+    weighted_loss: bool = False
+    label_smoothing: float = 0.0
+    focal_loss_gamma: float | None = 2.0
+    dice_eps: float | None = 1e-8
+    dice_focal_dice_weight: float | None = 0.5
+    dice_focal_focal_weight: float | None = 0.5
+
+    # compilation / numerics (TPU analogue of torch.compile + precision flags)
+    compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
+    remat: bool = False  # jax.checkpoint the encoder to trade FLOPs for HBM
+    donate_state: bool = True  # donate train-state buffers to the jit'd step
+
+    # trainer
+    max_epochs: int = -1
+    log_interval: int = 50
+    num_devices: int = -1  # -1 = all visible devices; data-parallel mesh size
+    overfit_batches: int = 0  # >0: repeat the first N batches (sanity preset)
+
+    # logger / run identity
+    use_wandb_logger: bool = True
+    project_name: str = "sentinel-segmentation"
+    wandb_entity: str | None = None
+    run_name: str | None = None
+    tags: list[str] = field(default_factory=list)
+
+    seed: int = 42
+    class_distribution: list[float] | None = None  # filled from dataset stats
+
+    # lr scheduler
+    lr_scheduler_type: LRSchedulerType | None = None
+    step_lr_sched_step_size: int | None = None
+    step_lr_sched_gamma: float | None = None
+    cosine_lr_sched_first_cycle_steps: int | None = None
+    cosine_lr_sched_cycle_mult: float | None = None
+    cosine_lr_sched_max_lr: float | None = None
+    cosine_lr_sched_min_lr: float | None = None
+    cosine_lr_sched_warmup_steps: int | None = None
+    cosine_lr_sched_gamma: float | None = None
+
+    # checkpointing
+    ckpt_every_n_epochs: int = 1
+    ckpt_keep: int = 1
+
+
+@dataclass
+class Config:
+    model_name: ModelName
+    datamodule: DatamoduleConfig
+    train: TrainConfig
+    num_classes: int | None = None  # derived from the label map
+
+    def __post_init__(self) -> None:
+        if isinstance(self.model_name, str):
+            self.model_name = ModelName(self.model_name)
+        if self.model_name.value.startswith("efficientnet-unet"):
+            assert self.datamodule.dataset_cfg.n_time_frames == 1, "EfficientNet-UNet is single-frame"
+            self.datamodule.dataset_cfg.squeeze_time_dim = True
+        if self.num_classes is None:
+            self.num_classes = LABEL_MAPS[self.datamodule.dataset_cfg.label_map].num_classes
+
+    def build_model(self):
+        """Instantiate the Flax module for ``model_name`` (factory, like get_model)."""
+        assert self.num_classes is not None
+        name = self.model_name.value
+        if name.startswith("efficientnet-unet"):
+            from s2tpu.models.efficientnet_unet import EfficientNetUNet, EfficientNetUNetConfig
+
+            return EfficientNetUNet(
+                EfficientNetUNetConfig(
+                    version=name.rsplit("-", 1)[-1],
+                    in_channels=6,
+                    num_classes=self.num_classes,
+                    class_distribution=self.train.class_distribution,
+                )
+            )
+        if name == ModelName.FC_PRITHVI_BACKBONE.value:
+            from s2tpu.models.prithvi_seg import PrithviSegmentationConfig, PrithviSegmentationNet
+
+            return PrithviSegmentationNet(
+                PrithviSegmentationConfig(
+                    num_frames=self.datamodule.dataset_cfg.n_time_frames,
+                    num_classes=self.num_classes,
+                    fcn_out_channels=256,
+                    fcn_num_convs=1,
+                    fcn_dropout=0.1,
+                    frozen_backbone=True,
+                )
+            )
+        raise ValueError(f"Unknown model: {self.model_name}")
+
+
+def base_config(model_name: ModelName | str, aoi: str = "fr", label_map: str = "cnes-multiclass") -> Config:
+    """Default experiment config (parity with BASE_CONFIG, segmentation.py:127-162)."""
+    return Config(
+        model_name=ModelName(model_name),
+        datamodule=DatamoduleConfig(
+            dataset_cfg=DatasetConfig(aoi=aoi, label_map=label_map),
+            batch_size=32,
+            data_split=(0.8, 0.2, 0.0),
+            val_batch_size_multiplier=2,
+            augment=True,
+            random_horizontal_flip_p=0.5,
+            random_vertical_flip_p=0.5,
+        ),
+        train=TrainConfig(),
+    )
+
+
+RunType = typing.Literal["train", "debug", "overfit", "tune"]
+
+
+def set_run_type(config: Config, run_type: RunType) -> Config:
+    return {"train": lambda c: c, "debug": debug, "overfit": overfit, "tune": lambda c: c}[run_type](config)
+
+
+def debug(config: Config) -> Config:
+    config.train.num_devices = 1
+    config.datamodule.batch_size = 1
+    config.train.compute_dtype = "float32"
+    config.train.tags.append("debug")
+    return config
+
+
+def overfit(config: Config) -> Config:
+    config.train.overfit_batches = 1
+    config.datamodule.augment = False
+    config.train.tags.append("overfit")
+    return config
+
+
+def config_to_dict(config: Config) -> dict:
+    """Flatten a config tree for logging/ckpt metadata (hyperparameter record)."""
+    return dataclasses.asdict(config)

@@ -1,0 +1,76 @@
+"""On-device augmentation + normalization, fused into the jit'd train step.
+
+The reference augments per-item on CPU workers with albumentations
+(s2osm_datamodule.py:75-87). Here the host only slices raw int16 crops out of
+the memmap; flips and normalization run on the TPU inside the same XLA
+program as the forward pass, keyed by explicit `jax.random` keys — zero extra
+HBM round-trips (XLA fuses normalize into the first conv's input) and exact
+reproducibility under data parallelism.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def random_crop_indices(
+    rng: np.random.Generator, n: int, src_hw: tuple[int, int], crop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side random crop offsets (crop happens on the host memmap slice)."""
+    ys = rng.integers(0, src_hw[0] - crop + 1, size=n)
+    xs = rng.integers(0, src_hw[1] - crop + 1, size=n)
+    return ys, xs
+
+
+def center_crop_offset(src_hw: tuple[int, int], crop: int) -> tuple[int, int]:
+    return (src_hw[0] - crop) // 2, (src_hw[1] - crop) // 2
+
+
+def normalize(images: jax.Array, mean: jax.Array, std: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """(B, H, W, C) raw DN -> standardized compute-dtype activations."""
+    x = images.astype(jnp.float32)
+    x = (x - mean.astype(jnp.float32)) / std.astype(jnp.float32)
+    return x.astype(dtype)
+
+
+def random_flips(
+    images: jax.Array,
+    labels: jax.Array | None,
+    key: jax.Array,
+    p_horizontal: float = 0.5,
+    p_vertical: float = 0.5,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Per-sample H/V flips on (B, H, W, C) images (+ aligned (B, H, W) labels).
+
+    Implemented as `where(flip, reversed, original)` — a static-shape select
+    XLA lowers to a cheap fused gather, no data-dependent control flow.
+    """
+    kh, kv = jax.random.split(key)
+    b = images.shape[0]
+    do_h = jax.random.uniform(kh, (b, 1, 1, 1)) < p_horizontal
+    do_v = jax.random.uniform(kv, (b, 1, 1, 1)) < p_vertical
+    images = jnp.where(do_h, images[:, :, ::-1, :], images)
+    images = jnp.where(do_v, images[:, ::-1, :, :], images)
+    if labels is not None:
+        labels = jnp.where(do_h[..., 0], labels[:, :, ::-1], labels)
+        labels = jnp.where(do_v[..., 0], labels[:, ::-1, :], labels)
+    return images, labels
+
+
+def augment_batch(
+    images: jax.Array,
+    labels: jax.Array | None,
+    key: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    p_horizontal: float = 0.5,
+    p_vertical: float = 0.5,
+    dtype=jnp.bfloat16,
+    train: bool = True,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Full on-device transform: flips (train only) then normalize."""
+    if train:
+        images, labels = random_flips(images, labels, key, p_horizontal, p_vertical)
+    return normalize(images, mean, std, dtype=dtype), labels

@@ -1,0 +1,200 @@
+"""Dataset layer: segment sources, splits, and synthetic fixtures.
+
+Capability parity with reference src/data/s2osm_dataset.py + utils.py splits,
+re-designed for TPU input throughput:
+
+  * Samples are raw (H, W, C) int16 reflectance + (H, W) uint8 labels —
+    channel-LAST, the native XLA-TPU conv layout, so no transpose ever
+    happens on the hot path.
+  * Two interchangeable backends: per-file GeoTIFFs (the on-disk acquisition
+    contract) and a packed memory-mapped array pair (`pack_dataset`) that
+    turns the per-item rasterio+albumentations Python loop of the reference
+    (s2osm_dataset.py:51-71) into zero-copy memmap gathers.
+  * The (train, val, test) split is assigned correctly — the reference
+    swapped val and test at the datamodule boundary (s2osm_datamodule.py:63,
+    documented defect; not replicated).
+"""
+
+from __future__ import annotations
+
+import json
+import typing
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from s2tpu.configs.data_config import LABEL_MAPS, SEGMENT_SIZE, DataDirs, LabelMap
+
+
+class Sample(typing.NamedTuple):
+    x: np.ndarray  # (H, W, C) int16
+    y: np.ndarray  # (H, W) uint8/int32 class indices
+
+
+class SegmentSource:
+    """Abstract source of aligned (sentinel, label) segment pairs."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int) -> Sample:
+        raise NotImplementedError
+
+
+class TiffSource(SegmentSource):
+    """Reads the on-disk GeoTIFF contract: sentinel/<seg>_<t>.tif + label/<map>/<seg>.tif."""
+
+    def __init__(self, aoi: str, label_map: str, data_dir: str | Path | None = None) -> None:
+        from s2tpu.geo.tiff import read_geotiff
+
+        self._read = read_geotiff
+        self.data_dirs = DataDirs(aoi=aoi, map_type=label_map, data_dir=data_dir)
+        self.sentinel_files = self.data_dirs.sentinel_files
+        self.label_files = self.data_dirs.label_files
+        self.label_map: LabelMap = LABEL_MAPS[label_map]
+        self._lut = self.label_map.remap_lut()
+        if len(self.sentinel_files) == 0:
+            raise FileNotFoundError(
+                f"No segments under {self.data_dirs.sentinel} — run the download CLIs first."
+            )
+
+    def __len__(self) -> int:
+        return len(self.sentinel_files)
+
+    def label_index_for(self, idx: int) -> int:
+        # "<segment>_<timeidx>.tif" shares the "<segment>.tif" label raster.
+        return int(self.sentinel_files[idx].stem.split("_")[0])
+
+    def __getitem__(self, idx: int) -> Sample:
+        img, _ = self._read(self.sentinel_files[idx])  # (C, H, W)
+        lbl, _ = self._read(self.label_files[self.label_index_for(idx)])
+        lbl = lbl[0]
+        if self._lut is not None:
+            lbl = self._lut[lbl]
+        return Sample(x=np.ascontiguousarray(img.transpose(1, 2, 0)), y=lbl)
+
+
+@dataclass
+class PackedPaths:
+    images: Path
+    labels: Path
+    meta: Path
+
+    @staticmethod
+    def for_dir(packed_dir: Path) -> "PackedPaths":
+        return PackedPaths(packed_dir / "images.npy", packed_dir / "labels.npy", packed_dir / "meta.json")
+
+
+def pack_dataset(source: SegmentSource, packed_dir: str | Path, log_every: int = 500) -> "PackedSource":
+    """Pack any source into memory-mapped (N,H,W,C) int16 + (N,H,W) uint8 arrays.
+
+    One-time cost; afterwards sample access is a memmap gather with no codec
+    or Python-loop work — the TPU-side answer to the reference's per-item
+    rasterio reads starving the accelerator.
+    """
+    packed_dir = Path(packed_dir)
+    packed_dir.mkdir(parents=True, exist_ok=True)
+    paths = PackedPaths.for_dir(packed_dir)
+    n = len(source)
+    first = source[0]
+    h, w, c = first.x.shape
+    images = np.lib.format.open_memmap(paths.images, mode="w+", dtype=np.int16, shape=(n, h, w, c))
+    labels = np.lib.format.open_memmap(paths.labels, mode="w+", dtype=np.uint8, shape=(n, h, w))
+    for i in range(n):
+        s = source[i]
+        images[i] = s.x
+        labels[i] = s.y
+    images.flush()
+    labels.flush()
+    paths.meta.write_text(json.dumps({"n": n, "height": h, "width": w, "channels": c}))
+    return PackedSource(packed_dir)
+
+
+class PackedSource(SegmentSource):
+    def __init__(self, packed_dir: str | Path) -> None:
+        paths = PackedPaths.for_dir(Path(packed_dir))
+        self.images = np.load(paths.images, mmap_mode="r")
+        self.labels = np.load(paths.labels, mmap_mode="r")
+        self.meta = json.loads(paths.meta.read_text())
+
+    def __len__(self) -> int:
+        return self.meta["n"]
+
+    def __getitem__(self, idx: int) -> Sample:
+        return Sample(x=self.images[idx], y=self.labels[idx])
+
+    def gather(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized batch gather straight from the memmap."""
+        return np.asarray(self.images[indices]), np.asarray(self.labels[indices])
+
+
+class SubsetSource(SegmentSource):
+    def __init__(self, source: SegmentSource, indices: np.ndarray) -> None:
+        self.source = source
+        self.indices = np.asarray(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int) -> Sample:
+        return self.source[int(self.indices[idx])]
+
+
+def train_val_test_split(
+    n: int, data_split: tuple[float, float, float], seed: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic shuffled index split -> (train, val, test) in that order."""
+    assert abs(sum(data_split) - 1.0) < 1e-9, "data_split must sum to 1"
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_train = int(data_split[0] * n)
+    n_val = int(data_split[1] * n)
+    return perm[:n_train], perm[n_train : n_train + n_val], perm[n_train + n_val :]
+
+
+def make_synthetic_fixture(
+    out_dir: str | Path,
+    aoi: str = "small",
+    label_map: str = "osm-multiclass",
+    n_segments: int = 6,
+    n_time: int = 1,
+    size: tuple[int, int] = SEGMENT_SIZE,
+    seed: int = 0,
+) -> DataDirs:
+    """Generate an offline synthetic AOI following the real file contract.
+
+    Images are smooth band-correlated int16 fields; labels are blobby class
+    regions — enough structure that a model can overfit them, which is what
+    the convergence tests need.
+    """
+    from s2tpu.geo.tiff import GeoInfo, write_geotiff
+
+    rng = np.random.default_rng(seed)
+    data_dirs = DataDirs(aoi=aoi, map_type=label_map, data_dir=Path(out_dir))
+    data_dirs.sentinel.mkdir(parents=True, exist_ok=True)
+    data_dirs.label.mkdir(parents=True, exist_ok=True)
+    h, w = size
+    num_classes = LABEL_MAPS[label_map].num_classes
+    yy, xx = np.mgrid[0:h, 0:w]
+    for seg in range(n_segments):
+        # Blobby label field from a few random low-frequency waves.
+        field = np.zeros((h, w), dtype=np.float64)
+        for _ in range(4):
+            fx, fy = rng.uniform(0.5, 3.0, size=2)
+            px, py = rng.uniform(0, 2 * np.pi, size=2)
+            field += rng.uniform(0.5, 1.0) * np.sin(2 * np.pi * fx * xx / w + px) * np.sin(
+                2 * np.pi * fy * yy / h + py
+            )
+        quantiles = np.quantile(field, np.linspace(0, 1, num_classes + 1)[1:-1])
+        labels = np.digitize(field, quantiles).astype(np.uint8)
+        geo = GeoInfo(west=seg * 0.05, north=48.0, pixel_size_x=1e-4, pixel_size_y=1e-4)
+        write_geotiff(data_dirs.label / f"{seg}.tif", labels, geo=geo)
+        for t in range(n_time):
+            img = np.zeros((6, h, w), dtype=np.float64)
+            for band in range(6):
+                base = 400.0 + 350.0 * band
+                img[band] = base + 600.0 * (labels.astype(np.float64) / max(1, num_classes - 1))
+                img[band] += rng.normal(0, 40.0, size=(h, w))
+            write_geotiff(data_dirs.sentinel / f"{seg}_{t}.tif", img.astype(np.int16), geo=geo)
+    return data_dirs

@@ -1,0 +1,163 @@
+"""Input pipeline: split wiring, host batching, and device prefetch.
+
+The datamodule equivalent of reference s2osm_datamodule.py /
+mae_datamodule.py, rebuilt for a TPU input path:
+
+  host thread:  memmap gather -> random/center crop (numpy slice)
+  prefetch:     background device_put onto the data-parallel sharding
+  device:       flips + normalize fused into the jit'd step (data.augment)
+
+Eval batches are padded to the static batch size with a validity mask so
+every XLA program has a single shape (no recompiles, correct metrics).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import typing
+
+import jax
+import numpy as np
+
+from s2tpu.configs.segmentation import DatamoduleConfig
+from s2tpu.data.dataset import (
+    PackedSource,
+    SegmentSource,
+    TiffSource,
+    train_val_test_split,
+)
+from s2tpu.data import statistics
+
+
+class HostBatch(typing.NamedTuple):
+    images: np.ndarray  # (B, crop, crop, C) int16
+    labels: np.ndarray  # (B, crop, crop) int32
+    mask: np.ndarray  # (B,) bool — False entries are padding
+
+
+class Datamodule:
+    """Builds sources, splits, statistics, and batch iterators for one config."""
+
+    def __init__(self, cfg: DatamoduleConfig, source: SegmentSource | None = None) -> None:
+        self.cfg = cfg
+        ds = cfg.dataset_cfg
+        self.source = source if source is not None else TiffSource(ds.aoi, ds.label_map, ds.data_dir)
+        self.train_idx, self.val_idx, self.test_idx = train_val_test_split(
+            len(self.source), cfg.data_split, seed=cfg.shuffle_seed
+        )
+        self._mean_std: tuple[np.ndarray, np.ndarray] | None = None
+        self._rng = np.random.default_rng(cfg.shuffle_seed)
+        self._sample_weights: np.ndarray | None = None
+        if cfg.class_distribution is not None:
+            self._sample_weights = statistics.get_sample_weights(
+                self.source, np.asarray(cfg.class_distribution), ignore_zero_label=True
+            )
+
+    # -- statistics ---------------------------------------------------------
+    def mean_std(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._mean_std is None:
+            stats = statistics.calculate_mean_std(self.source)
+            self._mean_std = (
+                np.asarray(stats["mean"], np.float32),
+                np.asarray(stats["std"], np.float32),
+            )
+        return self._mean_std
+
+    def set_mean_std(self, mean: np.ndarray, std: np.ndarray) -> None:
+        self._mean_std = (np.asarray(mean, np.float32), np.asarray(std, np.float32))
+
+    # -- batching -----------------------------------------------------------
+    def _sample_hw(self) -> tuple[int, int]:
+        s = self.source[0]
+        return s.x.shape[0], s.x.shape[1]
+
+    def _gather_crops(self, indices: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> HostBatch:
+        crop = self.cfg.random_crop_size
+        n = len(indices)
+        first = self.source[int(indices[0])]
+        c = first.x.shape[-1]
+        images = np.empty((n, crop, crop, c), dtype=np.int16)
+        labels = np.empty((n, crop, crop), dtype=np.int32)
+        for k, (i, y0, x0) in enumerate(zip(indices, ys, xs)):
+            s = self.source[int(i)]
+            images[k] = s.x[y0 : y0 + crop, x0 : x0 + crop]
+            labels[k] = s.y[y0 : y0 + crop, x0 : x0 + crop]
+        return HostBatch(images, labels, np.ones(n, dtype=bool))
+
+    def train_batches(self, epoch: int, overfit_batches: int = 0) -> typing.Iterator[HostBatch]:
+        """One epoch of shuffled, randomly-cropped, drop-last train batches."""
+        bs = self.cfg.batch_size
+        # Overfit preset: a fixed seed pins both sample order and crops across epochs.
+        rng = np.random.default_rng(
+            self.cfg.shuffle_seed if overfit_batches > 0 else (self.cfg.shuffle_seed, epoch)
+        )
+        if self._sample_weights is not None:
+            w = self._sample_weights[self.train_idx]
+            order = rng.choice(self.train_idx, size=len(self.train_idx), replace=True, p=w / w.sum())
+        else:
+            order = rng.permutation(self.train_idx)
+        hw = self._sample_hw()
+        n_batches = len(order) // bs
+        if overfit_batches > 0:
+            n_batches = min(overfit_batches, max(n_batches, 1))
+            order = np.concatenate([order] * max(1, bs * n_batches // max(len(order), 1) + 1))
+        for b in range(n_batches):
+            idx = order[b * bs : (b + 1) * bs]
+            if self.cfg.augment and overfit_batches == 0:
+                ys = rng.integers(0, hw[0] - self.cfg.random_crop_size + 1, size=bs)
+                xs = rng.integers(0, hw[1] - self.cfg.random_crop_size + 1, size=bs)
+            else:
+                y0 = (hw[0] - self.cfg.random_crop_size) // 2
+                x0 = (hw[1] - self.cfg.random_crop_size) // 2
+                ys = np.full(bs, y0)
+                xs = np.full(bs, x0)
+            yield self._gather_crops(idx, ys, xs)
+
+    def eval_batches(self, split: str = "val") -> typing.Iterator[HostBatch]:
+        """Center-cropped eval batches, padded to a static batch size."""
+        bs = self.cfg.batch_size * self.cfg.val_batch_size_multiplier
+        indices = {"val": self.val_idx, "test": self.test_idx, "train": self.train_idx}[split]
+        hw = self._sample_hw()
+        y0 = (hw[0] - self.cfg.random_crop_size) // 2
+        x0 = (hw[1] - self.cfg.random_crop_size) // 2
+        for b in range(0, len(indices), bs):
+            idx = indices[b : b + bs]
+            batch = self._gather_crops(idx, np.full(len(idx), y0), np.full(len(idx), x0))
+            if len(idx) < bs:
+                pad = bs - len(idx)
+                batch = HostBatch(
+                    np.concatenate([batch.images, np.zeros((pad, *batch.images.shape[1:]), batch.images.dtype)]),
+                    np.concatenate([batch.labels, np.zeros((pad, *batch.labels.shape[1:]), batch.labels.dtype)]),
+                    np.concatenate([batch.mask, np.zeros(pad, dtype=bool)]),
+                )
+            yield batch
+
+
+def prefetch_to_device(
+    iterator: typing.Iterator[HostBatch],
+    sharding: jax.sharding.Sharding | None = None,
+    depth: int = 2,
+) -> typing.Iterator[HostBatch]:
+    """Background-thread device_put pipeline (double-buffered H2D transfers)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def produce() -> None:
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = HostBatch(*(jax.device_put(a, sharding) for a in batch))
+                else:
+                    batch = HostBatch(*(jax.device_put(a) for a in batch))
+                q.put(batch)
+        finally:
+            q.put(stop)
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item

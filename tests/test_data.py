@@ -1,0 +1,155 @@
+"""Dataset, packing, statistics, and pipeline tests (synthetic fixtures)."""
+
+import numpy as np
+import pytest
+
+from s2tpu.configs.segmentation import DatamoduleConfig, DatasetConfig
+from s2tpu.data import statistics
+from s2tpu.data.dataset import (
+    PackedSource,
+    TiffSource,
+    pack_dataset,
+    train_val_test_split,
+)
+from s2tpu.data.pipeline import Datamodule, prefetch_to_device
+
+
+@pytest.fixture(scope="module")
+def source(fixture_dir):
+    return TiffSource("small", "osm-multiclass", data_dir=fixture_dir)
+
+
+def test_tiff_source(source):
+    assert len(source) == 6
+    s = source[0]
+    assert s.x.shape == (96, 96, 6) and s.x.dtype == np.int16
+    assert s.y.shape == (96, 96)
+    assert s.y.max() <= 3
+
+
+def test_file_contract_pairs_time_frames(tmp_path):
+    from s2tpu.data.dataset import make_synthetic_fixture
+
+    make_synthetic_fixture(tmp_path, aoi="vie", label_map="osm-multiclass", n_segments=2, n_time=3, size=(64, 64))
+    src = TiffSource("vie", "osm-multiclass", data_dir=tmp_path)
+    assert len(src) == 6  # 2 segments x 3 time frames
+    # all frames of segment 0 share the same label raster
+    assert src.label_index_for(0) == src.label_index_for(1) == src.label_index_for(2) == 0
+
+
+def test_pack_roundtrip(source, tmp_path):
+    packed = pack_dataset(source, tmp_path / "packed")
+    assert len(packed) == len(source)
+    for i in range(len(source)):
+        np.testing.assert_array_equal(packed[i].x, source[i].x)
+        np.testing.assert_array_equal(packed[i].y, source[i].y)
+    imgs, lbls = packed.gather(np.array([0, 2]))
+    assert imgs.shape == (2, 96, 96, 6) and lbls.shape == (2, 96, 96)
+    reopened = PackedSource(tmp_path / "packed")
+    np.testing.assert_array_equal(reopened[1].x, source[1].x)
+
+
+def test_split_order_and_determinism():
+    tr, va, te = train_val_test_split(10, (0.8, 0.2, 0.0), seed=1)
+    assert len(tr) == 8 and len(va) == 2 and len(te) == 0
+    assert set(tr) | set(va) == set(range(10))
+    tr2, va2, _ = train_val_test_split(10, (0.8, 0.2, 0.0), seed=1)
+    np.testing.assert_array_equal(tr, tr2)
+    np.testing.assert_array_equal(va, va2)
+
+
+def test_welford_matches_numpy(rng):
+    x = rng.normal(5.0, 3.0, size=(40, 17, 6)).astype(np.float32)
+    w = statistics.Welford()
+    for chunk in np.split(x, 4):
+        w.update(chunk, band_axis=-1)
+    mean, std = w.finalize()
+    flat = x.reshape(-1, 6)
+    np.testing.assert_allclose(mean, flat.mean(0), rtol=1e-6)
+    np.testing.assert_allclose(std, flat.std(0, ddof=1), rtol=1e-6)
+
+
+def test_mean_std_over_source(source):
+    stats = statistics.calculate_mean_std(source)
+    assert len(stats["mean"]) == 6 and len(stats["std"]) == 6
+    assert all(s > 0 for s in stats["std"])
+
+
+def test_class_probabilities(source):
+    p = statistics.get_class_probabilities(source, num_classes=4, ignore_zero_label=True)
+    assert p.shape == (4,)
+    assert p[0] == 0.0
+    np.testing.assert_allclose(p.sum(), 1.0)
+    p2 = statistics.get_class_probabilities(source, num_classes=4, ignore_zero_label=False)
+    assert p2[0] > 0
+
+
+def test_class_probabilities_sparse_classes(source):
+    # Classes beyond those present must get probability 0 (reference defect #7 fixed).
+    p = statistics.get_class_probabilities(source, num_classes=7, ignore_zero_label=False)
+    assert p.shape == (7,)
+    np.testing.assert_allclose(p[4:], 0.0)
+
+
+def test_sample_weights(source):
+    dist = statistics.get_class_probabilities(source, num_classes=4, ignore_zero_label=False)
+    w = statistics.get_sample_weights(source, dist)
+    assert w.shape == (6,)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+    assert (w >= 0).all()
+
+
+def _dm(fixture_dir, **overrides):
+    cfg = DatamoduleConfig(
+        dataset_cfg=DatasetConfig(aoi="small", label_map="osm-multiclass", data_dir=str(fixture_dir)),
+        batch_size=2,
+        data_split=(0.5, 0.5, 0.0),
+        random_crop_size=64,
+        val_batch_size_multiplier=2,
+        **overrides,
+    )
+    return Datamodule(cfg)
+
+
+def test_datamodule_train_batches(fixture_dir):
+    dm = _dm(fixture_dir)
+    batches = list(dm.train_batches(epoch=0))
+    assert len(batches) == 1  # 3 train samples, bs=2, drop-last
+    b = batches[0]
+    assert b.images.shape == (2, 64, 64, 6) and b.images.dtype == np.int16
+    assert b.labels.shape == (2, 64, 64) and b.labels.dtype == np.int32
+    assert b.mask.all()
+    # different epochs shuffle differently
+    b1 = next(iter(dm.train_batches(epoch=1)))
+    assert not np.array_equal(b.images, b1.images)
+
+
+def test_datamodule_eval_padding(fixture_dir):
+    dm = _dm(fixture_dir)
+    batches = list(dm.eval_batches("val"))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.images.shape[0] == 4  # bs 2 * multiplier 2, padded
+    assert b.mask.sum() == 3  # 3 real val samples
+    assert not b.mask[3]
+
+
+def test_overfit_batches_are_fixed(fixture_dir):
+    dm = _dm(fixture_dir, augment=False)
+    a = next(iter(dm.train_batches(epoch=0, overfit_batches=1)))
+    b = next(iter(dm.train_batches(epoch=5, overfit_batches=1)))
+    np.testing.assert_array_equal(a.images, b.images)
+
+
+def test_prefetch_to_device(fixture_dir):
+    dm = _dm(fixture_dir)
+    out = list(prefetch_to_device(dm.train_batches(epoch=0), depth=2))
+    assert len(out) == 1
+    assert out[0].images.shape == (2, 64, 64, 6)
+
+
+def test_weighted_sampling(fixture_dir):
+    dist = [0.0, 0.5, 0.3, 0.2]
+    dm = _dm(fixture_dir, class_distribution=dist)
+    batches = list(dm.train_batches(epoch=0))
+    assert len(batches) == 1  # still yields batches with replacement sampling
