@@ -1,0 +1,200 @@
+"""Loss zoo: masked/weighted CE, focal, soft-dice, combined.
+
+Capability parity with reference src/losses.py:16-138 — the same four loss
+types with `ignore_index=0` masking under ``masked_loss`` and the
+``w = 1 - p`` class-weighting rule (losses.py:25-30) — written as pure
+jnp functions over (B, H, W, K) channel-last logits so they fuse into the
+jit'd train step (no per-loss kernel launches, one XLA program).
+
+Semantics notes (verified against torch in tests/test_losses.py):
+  * cross_entropy matches ``torch.nn.CrossEntropyLoss(weight, ignore_index,
+    label_smoothing)``: weighted mean = sum(w_y * ce) / sum(w_y over valid).
+  * focal matches the reference formulation: per-pixel unreduced CE ->
+    pt = exp(-ce) -> alpha_y * (1-pt)^gamma * ce, mean over ALL pixels
+    (ignored pixels contribute 0 to the numerator but stay in the count,
+    exactly like reduction="none" + .mean() in the reference).
+  * dice is standard multiclass soft-dice over softmax vs one-hot. The
+    reference's mask `(y_hat != ignore_index)` compares *logits* to -100 and
+    is a no-op in practice (documented defect; the correct behavior — no
+    masking — is implemented directly).
+"""
+
+from __future__ import annotations
+
+import typing
+
+import jax
+import jax.numpy as jnp
+
+
+def _one_hot_smoothed(labels: jax.Array, num_classes: int, label_smoothing: float) -> jax.Array:
+    oh = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    if label_smoothing > 0.0:
+        oh = oh * (1.0 - label_smoothing) + label_smoothing / num_classes
+    return oh
+
+
+def _per_pixel_ce(
+    logits: jax.Array, labels: jax.Array, label_smoothing: float = 0.0
+) -> jax.Array:
+    """Unreduced CE over channel-last logits; (..., K) x (...) -> (...)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    target = _one_hot_smoothed(labels, logits.shape[-1], label_smoothing)
+    return -(target * logp).sum(axis=-1)
+
+
+def _valid_mask(labels: jax.Array, ignore_index: int | None, batch_mask: jax.Array | None) -> jax.Array:
+    valid = jnp.ones(labels.shape, jnp.float32)
+    if ignore_index is not None:
+        valid = valid * (labels != ignore_index)
+    if batch_mask is not None:
+        valid = valid * batch_mask.reshape((-1,) + (1,) * (labels.ndim - 1))
+    return valid
+
+
+def cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    class_weights: jax.Array | None = None,
+    ignore_index: int | None = None,
+    label_smoothing: float = 0.0,
+    batch_mask: jax.Array | None = None,
+) -> jax.Array:
+    """torch.nn.CrossEntropyLoss-equivalent weighted masked mean."""
+    ce = _per_pixel_ce(logits, labels, label_smoothing)
+    valid = _valid_mask(labels, ignore_index, batch_mask)
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[labels] * valid
+    else:
+        w = valid
+    return (ce * w).sum() / jnp.maximum(w.sum(), 1e-12)
+
+
+def focal_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    alpha: jax.Array,
+    gamma: float,
+    ignore_index: int | None = None,
+    label_smoothing: float = 0.0,
+    batch_mask: jax.Array | None = None,
+) -> jax.Array:
+    ce = _per_pixel_ce(logits, labels, label_smoothing)
+    valid = _valid_mask(labels, ignore_index, batch_mask)
+    ce = ce * valid
+    pt = jnp.exp(-ce)
+    a = jnp.asarray(alpha, jnp.float32)[labels]
+    focal = a * (1.0 - pt) ** gamma * ce
+    if batch_mask is not None:
+        # padded batches: mean over real pixels only
+        denom = jnp.maximum(
+            batch_mask.astype(jnp.float32).sum() * np_prod(labels.shape[1:]), 1e-12
+        )
+        return focal.sum() / denom
+    return focal.mean()
+
+
+def np_prod(shape: typing.Sequence[int]) -> float:
+    out = 1.0
+    for s in shape:
+        out *= s
+    return out
+
+
+def dice_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    eps: float = 1e-8,
+    batch_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Multiclass soft-dice: 1 - mean per-sample dice coefficient."""
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    target = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    axes = tuple(range(1, probs.ndim))
+    intersection = (probs * target).sum(axes)
+    union = (probs + target).sum(axes)
+    dice = (2.0 * intersection + eps) / (union + eps)
+    per_sample = 1.0 - dice
+    if batch_mask is not None:
+        m = batch_mask.astype(jnp.float32)
+        return (per_sample * m).sum() / jnp.maximum(m.sum(), 1e-12)
+    return per_sample.mean()
+
+
+class LossOutput(typing.NamedTuple):
+    total: jax.Array
+    components: dict[str, jax.Array]
+
+
+LossFn = typing.Callable[..., LossOutput]
+
+
+def make_loss_fn(
+    loss_type: str,
+    num_classes: int,
+    masked_loss: bool,
+    weighted_loss: bool = False,
+    class_distribution: typing.Sequence[float] | None = None,
+    label_smoothing: float = 0.0,
+    focal_gamma: float | None = 2.0,
+    dice_eps: float | None = 1e-8,
+    dice_weight: float | None = 0.5,
+    focal_weight: float | None = 0.5,
+) -> LossFn:
+    """Factory mirroring reference get_loss (losses.py:24-63).
+
+    Class weights: ``w_c = 1 - p_c`` for real classes, weight of the masked
+    background left at its raw distribution value (which is 0 when masked).
+    """
+    ignore_index = 0 if masked_loss else None
+    class_weights = None
+    if weighted_loss:
+        assert class_distribution is not None, "weighted_loss requires class_distribution"
+        cw = jnp.asarray(class_distribution, jnp.float32)
+        skip = int(masked_loss)
+        class_weights = jnp.concatenate([cw[:skip], 1.0 - cw[skip:]])
+        assert class_weights.shape[0] == num_classes
+    alpha = class_weights if class_weights is not None else jnp.ones(num_classes, jnp.float32)
+
+    def fn(logits: jax.Array, labels: jax.Array, batch_mask: jax.Array | None = None) -> LossOutput:
+        if loss_type == "ce":
+            total = cross_entropy(
+                logits, labels, class_weights, ignore_index, label_smoothing, batch_mask
+            )
+            return LossOutput(total, {})
+        if loss_type == "focal":
+            total = focal_loss(
+                logits, labels, alpha, focal_gamma, ignore_index, label_smoothing, batch_mask
+            )
+            return LossOutput(total, {})
+        if loss_type == "dice":
+            total = dice_loss(logits, labels, dice_eps, batch_mask)
+            return LossOutput(total, {})
+        if loss_type == "dice_focal":
+            d = dice_weight * dice_loss(logits, labels, dice_eps, batch_mask)
+            f = focal_weight * focal_loss(
+                logits, labels, alpha, focal_gamma, ignore_index, label_smoothing, batch_mask
+            )
+            return LossOutput(d + f, {"dice": d, "focal": f})
+        raise ValueError(f"Unknown loss type {loss_type!r}")
+
+    return fn
+
+
+def mae_reconstruction_loss(
+    pred: jax.Array, target: jax.Array, mask: jax.Array, norm_pix: bool = False
+) -> jax.Array:
+    """MAE loss: per-patch MSE averaged over masked (removed) patches only.
+
+    pred/target: (B, L, D) patch pixels; mask: (B, L) with 1 = masked.
+    Parity: reference prithvi.py:333-350.
+    """
+    target = target.astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+    if norm_pix:
+        mean = target.mean(axis=-1, keepdims=True)
+        var = target.var(axis=-1, keepdims=True)
+        target = (target - mean) / jnp.sqrt(var + 1e-6)
+    per_patch = ((pred - target) ** 2).mean(axis=-1)
+    return (per_patch * mask).sum() / jnp.maximum(mask.sum(), 1e-12)
