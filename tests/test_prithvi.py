@@ -1,0 +1,167 @@
+"""Prithvi ViT-MAE + segmentation head tests (tiny configs, all jitted)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2tpu.models.prithvi_mae import (
+    PrithviConfig,
+    PrithviMAE,
+    patchify,
+    random_masking,
+    sincos_1d,
+    sincos_3d,
+    unpatchify,
+)
+from s2tpu.models.prithvi_seg import PrithviSegmentationConfig, PrithviSegmentationNet
+
+TINY = PrithviConfig(
+    img_size=32, patch_size=8, num_frames=2, tubelet_size=1, in_chans=6,
+    embed_dim=64, depth=2, num_heads=4, decoder_embed_dim=48, decoder_depth=1,
+    decoder_num_heads=4,
+)
+
+
+def test_sincos_1d_structure():
+    emb = sincos_1d(8, np.arange(5))
+    assert emb.shape == (5, 8)
+    np.testing.assert_allclose(emb[0, :4], 0.0)  # sin(0)
+    np.testing.assert_allclose(emb[0, 4:], 1.0)  # cos(0)
+
+
+def test_sincos_3d_split_and_cls():
+    emb = sincos_3d(64, (2, 4, 4), cls_token=True)
+    assert emb.shape == (1 + 32, 64)
+    np.testing.assert_allclose(emb[0], 0.0)  # cls slot is zeros
+    # w varies fastest: tokens 1 and 2 differ in the w-part (first 24 dims)
+    assert not np.allclose(emb[1, :24], emb[2, :24])
+    # ... but share h and t parts (dims 24:48 and 48:64)
+    np.testing.assert_allclose(emb[1, 24:], emb[2, 24:])
+
+
+def test_patchify_roundtrip(rng):
+    imgs = jnp.asarray(rng.normal(size=(2, 2, 32, 32, 6)).astype(np.float32))
+    tokens = patchify(imgs, patch=8, tubelet=1)
+    assert tokens.shape == (2, 2 * 4 * 4, 8 * 8 * 6)
+    back = unpatchify(tokens, grid=(2, 4, 4), patch=8, tubelet=1, channels=6)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(imgs))
+
+
+def test_patchify_token_order(rng):
+    # token index = t*gh*gw + h*gw + w (t slowest, w fastest) — conv3d-flatten order
+    imgs = np.zeros((1, 2, 16, 16, 1), np.float32)
+    imgs[0, 1, 0:8, 8:16, 0] = 7.0  # frame 1, row-block 0, col-block 1
+    tokens = patchify(jnp.asarray(imgs), patch=8, tubelet=1)
+    l = 2 * 2 * 2
+    nonzero = [i for i in range(l) if np.abs(np.asarray(tokens[0, i])).sum() > 0]
+    assert nonzero == [1 * 4 + 0 * 2 + 1]  # == index 5
+
+
+def test_random_masking_static_shapes(rng):
+    x = jnp.asarray(rng.normal(size=(3, 16, 8)).astype(np.float32))
+    kept, mask, ids_restore = random_masking(x, 0.75, jax.random.key(0))
+    assert kept.shape == (3, 4, 8)  # static keep count
+    assert mask.shape == (3, 16)
+    np.testing.assert_allclose(np.asarray(mask).sum(1), 12.0)  # 75% masked
+    # unshuffling a kept token's position marks it unmasked
+    ids_shuffle = np.argsort(np.asarray(ids_restore), axis=1)
+    for b in range(3):
+        for j in range(4):
+            assert np.asarray(mask)[b, ids_shuffle[b, j]] == 0.0
+    # kept tokens are real rows of x
+    x_np = np.asarray(x)
+    for b in range(3):
+        for j in range(4):
+            np.testing.assert_array_equal(np.asarray(kept)[b, j], x_np[b, ids_shuffle[b, j]])
+
+
+@pytest.fixture(scope="module")
+def mae_model():
+    model = PrithviMAE(TINY)
+    imgs = jnp.zeros((2, 2, 32, 32, 6), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.key(0), imgs, mask_ratio=0.75, mask_rng=jax.random.key(1))
+    )()
+    return model, variables, imgs
+
+
+def test_mae_forward_shapes(mae_model, rng):
+    model, variables, _ = mae_model
+    imgs = jnp.asarray(rng.normal(size=(2, 2, 32, 32, 6)).astype(np.float32))
+    loss, pred, mask = jax.jit(
+        lambda v, x: model.apply(v, x, mask_ratio=0.75, mask_rng=jax.random.key(3))
+    )(variables, imgs)
+    assert pred.shape == (2, 32, 8 * 8 * 6)
+    assert mask.shape == (2, 32)
+    assert float(loss) > 0
+    assert np.isfinite(float(loss))
+
+
+def test_mae_zero_mask_reconstruction_loss_counts_nothing(mae_model, rng):
+    model, variables, _ = mae_model
+    imgs = jnp.asarray(rng.normal(size=(2, 2, 32, 32, 6)).astype(np.float32))
+    loss, _, mask = jax.jit(lambda v, x: model.apply(v, x, mask_ratio=0.0))(variables, imgs)
+    np.testing.assert_allclose(np.asarray(mask), 0.0)
+    np.testing.assert_allclose(float(loss), 0.0)  # masked mean over empty set -> 0
+
+
+def test_mae_encoder_only(mae_model, rng):
+    model, variables, _ = mae_model
+    imgs = jnp.asarray(rng.normal(size=(1, 2, 32, 32, 6)).astype(np.float32))
+    tokens, mask, ids = jax.jit(
+        lambda v, x: model.apply(v, x, mask_ratio=0.0, method=model.forward_encoder)
+    )(variables, imgs)
+    assert tokens.shape == (1, 1 + 32, 64)
+
+
+def test_seg_net_shapes():
+    seg_cfg = PrithviSegmentationConfig(
+        num_frames=2,
+        num_classes=4,
+        fcn_out_channels=32,
+        fcn_num_convs=1,
+        fcn_dropout=0.1,
+        frozen_backbone=True,
+        embed_dim=64,
+        patch_height=4,
+        patch_width=4,
+        backbone=TINY,
+    )
+    model = PrithviSegmentationNet(seg_cfg)
+    x = jnp.zeros((2, 2, 32, 32, 6), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), x, train=False))()
+    y = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    # neck upsamples 4x4 grid 16x -> 64, not necessarily == input H; head is 1x1
+    assert y.shape == (2, 64, 64, 4)
+
+
+def test_frozen_backbone_blocks_gradients(rng):
+    seg_cfg = PrithviSegmentationConfig(
+        num_frames=1, num_classes=2, fcn_out_channels=16, fcn_num_convs=1, fcn_dropout=0.0,
+        frozen_backbone=True, embed_dim=64, patch_height=4, patch_width=4,
+        backbone=PrithviConfig(
+            img_size=32, patch_size=8, num_frames=1, in_chans=6, embed_dim=64, depth=1,
+            num_heads=4, decoder_embed_dim=48, decoder_depth=1, decoder_num_heads=4,
+        ),
+    )
+    model = PrithviSegmentationNet(seg_cfg)
+    x = jnp.asarray(rng.normal(size=(1, 1, 32, 32, 6)).astype(np.float32))
+    variables = jax.jit(lambda: model.init(jax.random.key(0), x, train=False))()
+
+    @jax.jit
+    def grads(params):
+        def loss_fn(p):
+            y, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"], rngs={"dropout": jax.random.key(1)},
+            )
+            return (y**2).mean()
+
+        return jax.grad(loss_fn)(params)
+
+    g = grads(variables["params"])
+    backbone_norm = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g["backbone"]))
+    head_norm = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g["head"]))
+    assert backbone_norm == 0.0
+    assert head_norm > 0.0
