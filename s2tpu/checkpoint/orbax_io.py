@@ -1,0 +1,105 @@
+"""Checkpointing via Orbax: async sharded saves, best+last retention.
+
+Parity with the reference's ModelCheckpoint policy (train_segmentation.py:
+247-255: monitor val/loss, save_top_k=1, save_last, every epoch) plus the
+hyperparameter embedding that makes ``load_from_checkpoint`` self-contained
+(train_segmentation.py:47). TPU-native: saves are asynchronous (training
+continues while the previous state serializes) and arrays are written with
+their shardings, so multi-host restore places shards directly.
+"""
+
+from __future__ import annotations
+
+import json
+import typing
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from s2tpu.train.train_state import TrainState
+
+
+class CheckpointManager:
+    """Epoch checkpoints with best-val-loss retention + always-keep-last."""
+
+    def __init__(
+        self,
+        directory: str | Path,
+        keep: int = 1,
+        monitor: str = "val/loss",
+        mode: str = "min",
+        config_dict: dict | None = None,
+    ) -> None:
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        sign = 1.0 if mode == "min" else -1.0
+
+        def best_fn(metrics: dict) -> float:
+            return -sign * metrics.get(monitor, sign * float("inf"))
+
+        self._manager = ocp.CheckpointManager(
+            self.directory.resolve(),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                best_fn=best_fn,
+                best_mode="max",
+                keep_period=None,
+                enable_async_checkpointing=True,
+            ),
+        )
+        if config_dict is not None:
+            (self.directory / "config.json").write_text(json.dumps(config_dict, default=str, indent=2))
+
+    def save_epoch(self, epoch: int, state: TrainState, metrics: dict | None = None) -> None:
+        metrics = {k: float(v) for k, v in (metrics or {}).items() if np.isscalar(v)}
+        self._manager.save(
+            epoch, args=ocp.args.StandardSave(_to_saveable(state)), metrics=metrics
+        )
+
+    def wait(self) -> None:
+        self._manager.wait_until_finished()
+
+    def latest_epoch(self) -> int | None:
+        return self._manager.latest_step()
+
+    def best_epoch(self) -> int | None:
+        return self._manager.best_step()
+
+    def restore(self, state_like: TrainState, epoch: int | None = None) -> TrainState:
+        """Restore into the structure/shardings of ``state_like``."""
+        if epoch is None:
+            epoch = self._manager.latest_step()
+        assert epoch is not None, "no checkpoint to restore"
+        restored = self._manager.restore(
+            epoch, args=ocp.args.StandardRestore(_to_saveable(state_like))
+        )
+        return TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", {}),
+            opt_state=jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(state_like.opt_state),
+                jax.tree_util.tree_leaves(restored["opt_state"]),
+            ),
+        )
+
+    def load_config(self) -> dict | None:
+        path = self.directory / "config.json"
+        return json.loads(path.read_text()) if path.exists() else None
+
+    def close(self) -> None:
+        self._manager.close()
+
+
+def _to_saveable(state: TrainState) -> dict[str, typing.Any]:
+    """Flatten opt_state to leaves (optax states contain non-serializable
+    NamedTuples across versions; leaves + treedef-from-template restore them)."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": jax.tree_util.tree_leaves(state.opt_state),
+    }

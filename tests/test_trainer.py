@@ -1,0 +1,137 @@
+"""End-to-end training-loop tests: overfit convergence, DP mesh, checkpointing.
+
+Mirrors the reference's operational test strategy (debug/overfit presets,
+SURVEY.md §4) plus the multi-device tests it never had.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2tpu.configs import segmentation as cfg_lib
+from s2tpu.data.pipeline import Datamodule
+from s2tpu.parallel import mesh as mesh_lib
+from s2tpu.train.trainer import SegmentationTrainer
+
+
+def small_config(fixture_dir, **train_overrides):
+    c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 2
+    c.datamodule.data_split = (0.5, 0.5, 0.0)
+    c.datamodule.random_crop_size = 64  # must be divisible by 32 (UNet depth)
+    c.train.lr = 3e-3
+    c.train.compute_dtype = "float32"
+    c.train.log_interval = 1000
+    for k, v in train_overrides.items():
+        setattr(c.train, k, v)
+    return c
+
+
+@pytest.fixture(scope="module")
+def overfit_run(fixture_dir):
+    c = small_config(fixture_dir)
+    c = cfg_lib.overfit(c)
+    dm = Datamodule(c.datamodule)
+    mesh = mesh_lib.make_mesh(1)
+    trainer = SegmentationTrainer(c, dm, mesh=mesh)
+    history = trainer.fit(epochs=8)
+    return trainer, history
+
+
+def test_overfit_one_batch_converges(overfit_run):
+    _, history = overfit_run
+    losses = [h["train/loss"] for h in history]
+    assert losses[-1] < losses[0] * 0.7, f"no convergence: {losses}"
+    assert history[-1]["train/accuracy"] > history[0]["train/accuracy"]
+
+
+def test_history_contains_metrics(overfit_run):
+    _, history = overfit_run
+    for key in ["train/loss", "train/iou", "train/accuracy", "train/f1", "val/loss", "val/iou"]:
+        assert key in history[0], f"missing {key}"
+    assert history[0]["train/images_per_sec"] > 0
+
+
+def test_predict_step(overfit_run):
+    trainer, _ = overfit_run
+    batch = next(iter(trainer.dm.eval_batches("val")))
+    logits = trainer.predict_step(trainer.state, jnp.asarray(batch.images))
+    assert logits.shape == (batch.images.shape[0], 64, 64, 4)
+
+
+def test_data_parallel_step_matches_single_device(tmp_path):
+    """The same train step on a 1-device and an 8-device mesh must agree:
+    global-batch BN stats + summed grads are identical XLA programs."""
+    from s2tpu.data.dataset import make_synthetic_fixture
+
+    make_synthetic_fixture(tmp_path, aoi="small", label_map="osm-multiclass", n_segments=16, size=(64, 64))
+    c = small_config(tmp_path)
+    c.datamodule.batch_size = 8
+    c.datamodule.data_split = (1.0, 0.0, 0.0)
+    c.datamodule.augment = False  # deterministic path for comparison
+    dm = Datamodule(c.datamodule)
+    batch = next(iter(dm.train_batches(epoch=0)))
+
+    t1 = SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1))
+    t8 = SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(8))
+
+    sharded = jax.device_put(batch.images, mesh_lib.data_sharding(t8.mesh))
+    sharded_lbl = jax.device_put(batch.labels, mesh_lib.data_sharding(t8.mesh))
+
+    s1, m1 = t1.train_step(t1.state, jnp.asarray(batch.images), jnp.asarray(batch.labels), t1.base_rng)
+    s8, m8 = t8.train_step(t8.state, sharded, sharded_lbl, t8.base_rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    # partitioning changes float summation order -> rare argmax tie flips;
+    # allow a handful of pixels to move between confusion-matrix cells
+    cm_diff = np.abs(np.asarray(m1["cm"]) - np.asarray(m8["cm"])).sum()
+    assert cm_diff <= 8, f"confusion matrices diverge: {cm_diff} pixels"
+    # updated params agree across the dp boundary
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+
+def test_eval_padding_does_not_change_metrics(fixture_dir):
+    c = small_config(fixture_dir)
+    dm = Datamodule(c.datamodule)
+    trainer = SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1))
+    # two eval runs over the same data -> identical metrics (mask correctness)
+    m1 = trainer.run_eval_epoch("val")
+    m2 = trainer.run_eval_epoch("val")
+    np.testing.assert_allclose(m1["loss"], m2["loss"])
+    np.testing.assert_array_equal(m1["confusion_matrix"], m2["confusion_matrix"])
+    assert m1["support"].sum() > 0
+
+
+def test_checkpoint_roundtrip(tmp_path, overfit_run):
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+
+    trainer, _ = overfit_run
+    mgr = CheckpointManager(tmp_path / "ckpts", keep=2, config_dict={"model": "b0"})
+    mgr.save_epoch(0, trainer.state, metrics={"val/loss": 1.0})
+    mgr.wait()
+    assert mgr.latest_epoch() == 0
+
+    restored = mgr.restore(trainer.state, epoch=0)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.state.params), jax.tree_util.tree_leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(trainer.state.step)
+    assert mgr.load_config() == {"model": "b0"}
+    mgr.close()
+
+
+def test_checkpoint_best_retention(tmp_path, overfit_run):
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+
+    trainer, _ = overfit_run
+    mgr = CheckpointManager(tmp_path / "ck2", keep=1, monitor="val/loss")
+    mgr.save_epoch(0, trainer.state, metrics={"val/loss": 0.5})
+    mgr.save_epoch(1, trainer.state, metrics={"val/loss": 2.0})
+    mgr.wait()
+    assert mgr.best_epoch() == 0  # lower val/loss wins
+    mgr.close()
