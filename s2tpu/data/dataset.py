@@ -45,7 +45,13 @@ class SegmentSource:
 class TiffSource(SegmentSource):
     """Reads the on-disk GeoTIFF contract: sentinel/<seg>_<t>.tif + label/<map>/<seg>.tif."""
 
-    def __init__(self, aoi: str, label_map: str, data_dir: str | Path | None = None) -> None:
+    def __init__(
+        self,
+        aoi: str,
+        label_map: str,
+        data_dir: str | Path | None = None,
+        require_labels: bool = True,
+    ) -> None:
         from s2tpu.geo.tiff import read_geotiff
 
         self._read = read_geotiff
@@ -54,6 +60,10 @@ class TiffSource(SegmentSource):
         self.label_files = self.data_dirs.label_files
         self.label_map: LabelMap = LABEL_MAPS[label_map]
         self._lut = self.label_map.remap_lut()
+        # MAE pretraining is unlabeled: missing label rasters become zeros.
+        self.has_labels = require_labels or len(self.label_files) > 0
+        if require_labels and len(self.label_files) == 0:
+            raise FileNotFoundError(f"No label rasters under {self.data_dirs.label}")
         if len(self.sentinel_files) == 0:
             raise FileNotFoundError(
                 f"No segments under {self.data_dirs.sentinel} — run the download CLIs first."
@@ -68,11 +78,14 @@ class TiffSource(SegmentSource):
 
     def __getitem__(self, idx: int) -> Sample:
         img, _ = self._read(self.sentinel_files[idx])  # (C, H, W)
+        img = np.ascontiguousarray(img.transpose(1, 2, 0))
+        if not self.has_labels:
+            return Sample(x=img, y=np.zeros(img.shape[:2], np.uint8))
         lbl, _ = self._read(self.label_files[self.label_index_for(idx)])
         lbl = lbl[0]
         if self._lut is not None:
             lbl = self._lut[lbl]
-        return Sample(x=np.ascontiguousarray(img.transpose(1, 2, 0)), y=lbl)
+        return Sample(x=img, y=lbl)
 
 
 @dataclass

@@ -1,0 +1,229 @@
+"""Prithvi MAE pretraining / finetuning trainer.
+
+The TPU-native replacement for reference train_mae_prithvi.py:37-242: a
+jit'd train step over a data-parallel mesh whose loss is the model-internal
+masked-reconstruction MSE, with the MAE linear LR-scaling rule applied at
+config time (s2tpu.configs.mae.pretrain/finetune), normalization with the
+published Prithvi mean/std, and Orbax checkpoints monitored on val loss.
+
+``from_scratch=False`` starts from converted Prithvi_100M.pt weights when
+present under weights/ (s2tpu.checkpoint.convert_torch); otherwise a warning
+is logged and training starts from random init.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from s2tpu.configs.mae import MAEConfig
+from s2tpu.data.augment import augment_batch
+from s2tpu.data.pipeline import Datamodule, prefetch_to_device
+from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE, unpatchify
+from s2tpu.parallel import mesh as mesh_lib
+from s2tpu.train.train_state import TrainState, make_optimizer
+from s2tpu.utils import get_logger, get_unique_run_name, load_prithvi_mean_std, load_prithvi_model_args
+
+logger = get_logger(__name__)
+
+
+class MAETrainer:
+    def __init__(
+        self,
+        config: MAEConfig,
+        datamodule: Datamodule,
+        mesh: jax.sharding.Mesh | None = None,
+        model_config: PrithviConfig | None = None,
+        run_logger=None,
+        checkpoint_manager=None,
+        mask_ratio: float = 0.75,
+    ) -> None:
+        self.config = config
+        self.dm = datamodule
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(config.train.num_devices)
+        self.mask_ratio = config.model.mask_ratio if config.model.mask_ratio is not None else mask_ratio
+        self.run_logger = run_logger
+        self.ckpt = checkpoint_manager
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.train.compute_dtype]
+
+        if model_config is None:
+            model_config = PrithviConfig.from_model_args(
+                load_prithvi_model_args(), num_frames=config.model.num_frames
+            )
+        self.model = PrithviMAE(model_config, dtype=dtype)
+        self.model_config = model_config
+
+        mean, std = load_prithvi_mean_std()
+        self.mean = jnp.asarray(mean)
+        self.std = jnp.asarray(std)
+        self.compute_dtype = dtype
+
+        self.base_rng = jax.random.key(config.train.seed)
+        self.state = self._init_state()
+        self._build_steps()
+
+    def _init_state(self) -> TrainState:
+        cfg = self.config
+        crop = cfg.datamodule.random_crop_size
+        sample = jnp.zeros(
+            (1, self.model_config.num_frames, crop, crop, self.model_config.in_chans),
+            self.compute_dtype,
+        )
+
+        @jax.jit
+        def init():
+            return self.model.init(
+                {"params": jax.random.key(cfg.train.seed)}, sample, mask_ratio=0.0
+            )
+
+        params = init()["params"]
+        if not cfg.train.from_scratch:
+            params = self._load_pretrained(params)
+        self.tx = make_optimizer(
+            cfg.train.lr, cfg.train.weight_decay, cfg.train.betas
+        )
+        opt_state = jax.jit(self.tx.init)(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, batch_stats={}, opt_state=opt_state
+        )
+        return mesh_lib.replicate_pytree(state, self.mesh)
+
+    def _load_pretrained(self, params):
+        """Converted Prithvi_100M.pt weights when available (finetune path)."""
+        try:
+            from s2tpu.checkpoint.convert_torch import load_prithvi_weights
+
+            return load_prithvi_weights(params, num_frames=self.model_config.num_frames)
+        except FileNotFoundError as e:
+            logger.warning(f"Pretrained Prithvi weights unavailable ({e}); using random init")
+            return params
+
+    def _build_steps(self) -> None:
+        cfg = self.config
+        model = self.model
+        mask_ratio = self.mask_ratio
+        dm_cfg = cfg.datamodule
+
+        def train_step(state: TrainState, images, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            aug_key, mask_key = jax.random.split(step_rng)
+            x, _ = augment_batch(
+                images, None, aug_key, self.mean, self.std,
+                dtype=self.compute_dtype, train=dm_cfg.augment,
+            )
+            x = x[:, None] if x.ndim == 4 else x  # add T axis
+
+            def loss_fn(params):
+                loss, _, _ = model.apply(
+                    {"params": params}, x, mask_ratio=mask_ratio, mask_rng=mask_key
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(step=state.step + 1, params=new_params, opt_state=new_opt),
+                {"loss": loss},
+            )
+
+        def eval_step(state: TrainState, images, batch_mask, rng):
+            x, _ = augment_batch(
+                images, None, rng, self.mean, self.std, dtype=self.compute_dtype, train=False
+            )
+            x = x[:, None] if x.ndim == 4 else x
+            loss, pred, mask = model.apply(
+                {"params": state.params}, x, mask_ratio=mask_ratio, mask_rng=rng
+            )
+            # padded eval entries contribute 0 through the batch mask
+            per_ok = batch_mask.astype(jnp.float32)
+            return {"loss": loss, "weight": per_ok.mean(), "pred": pred, "mask": mask}
+
+        donate = ("state",) if cfg.train.donate_state else ()
+        self.train_step = jax.jit(train_step, donate_argnames=donate)
+        self.eval_step = jax.jit(eval_step)
+
+    def reconstruct(self, images) -> np.ndarray:
+        """Visualization helper: masked reconstruction back in pixel space."""
+        x, _ = augment_batch(
+            jnp.asarray(images), None, jax.random.key(0), self.mean, self.std,
+            dtype=self.compute_dtype, train=False,
+        )
+        x = x[:, None] if x.ndim == 4 else x
+        _, pred, _ = self.model.apply(
+            {"params": self.state.params}, x, mask_ratio=self.mask_ratio, mask_rng=jax.random.key(1)
+        )
+        mc = self.model_config
+        rec = unpatchify(pred, mc.grid_size, mc.patch_size, mc.tubelet_size, mc.in_chans)
+        rec = np.asarray(rec.astype(jnp.float32))
+        return rec * np.asarray(self.std) + np.asarray(self.mean)  # denormalize
+
+    def run_train_epoch(self, epoch: int) -> dict:
+        cfg = self.config
+        acc, n, images_seen = None, 0, 0
+        t0 = time.time()
+        it = prefetch_to_device(
+            self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches),
+            sharding=mesh_lib.data_sharding(self.mesh),
+            depth=cfg.datamodule.prefetch,
+        )
+        for batch in it:
+            self.state, m = self.train_step(self.state, batch.images, self.base_rng)
+            acc = m["loss"] if acc is None else acc + m["loss"]
+            n += 1
+            images_seen += batch.images.shape[0]
+        if n == 0:
+            return {}
+        return {
+            "loss": float(acc) / n,
+            "images_per_sec": images_seen / max(time.time() - t0, 1e-9),
+        }
+
+    def run_eval_epoch(self, split: str = "val") -> dict:
+        total, weight = 0.0, 0.0
+        it = prefetch_to_device(
+            self.dm.eval_batches(split), sharding=mesh_lib.data_sharding(self.mesh), depth=2
+        )
+        for batch in it:
+            m = self.eval_step(
+                self.state, batch.images, batch.mask.astype(np.float32), self.base_rng
+            )
+            w = float(m["weight"])
+            total += float(m["loss"]) * w
+            weight += w
+        return {"loss": total / max(weight, 1e-9)} if weight else {}
+
+    def fit(self, epochs: int | None = None) -> list[dict]:
+        cfg = self.config
+        max_epochs = epochs if epochs is not None else cfg.train.max_epochs
+        assert max_epochs > 0, "fit() needs an explicit positive epoch count"
+        if cfg.train.run_name is None:
+            cfg.train.run_name = get_unique_run_name(postfix=cfg.train.project_name)
+        history = []
+        for epoch in range(max_epochs):
+            tr = self.run_train_epoch(epoch)
+            va = self.run_eval_epoch("val") if len(self.dm.val_idx) else {}
+            record = {
+                "epoch": epoch,
+                **{f"train/{k}": v for k, v in tr.items()},
+                **{f"val/{k}": v for k, v in va.items()},
+            }
+            history.append(record)
+            logger.info(
+                f"mae epoch {epoch}: train loss {tr.get('loss', float('nan')):.4f} | "
+                f"val loss {va.get('loss', float('nan')):.4f} | "
+                f"{tr.get('images_per_sec', 0):.1f} img/s"
+            )
+            if self.run_logger is not None:
+                self.run_logger.log_scalars(
+                    {k: v for k, v in record.items() if k != "epoch"}, step=int(self.state.step)
+                )
+            if self.ckpt is not None and (epoch + 1) % cfg.train.ckpt_every_n_epochs == 0:
+                self.ckpt.save_epoch(epoch, self.state, metrics=record)
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        return history

@@ -50,9 +50,11 @@ class SegmentationTrainer:
         mesh: jax.sharding.Mesh | None = None,
         run_logger=None,
         checkpoint_manager=None,
+        param_sharding: str = "replicated",  # "replicated" (pure DP) | "fsdp" ('model' axis)
     ) -> None:
         self.config = config
         self.dm = datamodule
+        self.param_sharding = param_sharding
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(config.train.num_devices)
         self.model = config.build_model()
         self.is_prithvi = config.model_name.value.startswith("fc-prithvi")
@@ -129,6 +131,30 @@ class SegmentationTrainer:
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats, opt_state=opt_state
         )
+        if self.param_sharding == "fsdp" and self.mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+            # Shard large params (and their optimizer moments) over the
+            # 'model' axis; XLA all-gathers weights per layer on demand.
+            param_shardings = mesh_lib.fsdp_param_shardings(state.params, self.mesh)
+            # opt_state contains moment trees with the same structure as params
+            # plus scalars — map shardings by matching shape.
+            flat_params = jax.tree_util.tree_leaves(state.params)
+            flat_shard = jax.tree_util.tree_leaves(param_shardings)
+            shape_to_sharding = {}
+            for p, s in zip(flat_params, flat_shard):
+                shape_to_sharding.setdefault(p.shape, s)
+
+            def put(leaf):
+                s = shape_to_sharding.get(getattr(leaf, "shape", None))
+                return jax.device_put(leaf, s if s is not None else mesh_lib.replicated(self.mesh))
+
+            return TrainState(
+                step=jax.device_put(state.step, mesh_lib.replicated(self.mesh)),
+                params=jax.tree_util.tree_map(
+                    lambda p, s: jax.device_put(p, s), state.params, param_shardings
+                ),
+                batch_stats=jax.tree_util.tree_map(put, state.batch_stats),
+                opt_state=jax.tree_util.tree_map(put, state.opt_state),
+            )
         # Replicate over the mesh (params/opt state replicated = pure DP).
         return mesh_lib.replicate_pytree(state, self.mesh)
 

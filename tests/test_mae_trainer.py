@@ -1,0 +1,77 @@
+"""MAE trainer: convergence on synthetic data + reconstruction output."""
+
+import numpy as np
+import pytest
+
+from s2tpu.configs import mae as mae_cfg
+from s2tpu.configs.segmentation import DatamoduleConfig, DatasetConfig
+from s2tpu.data.dataset import TiffSource
+from s2tpu.data.pipeline import Datamodule
+from s2tpu.models.prithvi_mae import PrithviConfig
+from s2tpu.parallel import mesh as mesh_lib
+from s2tpu.train.mae_trainer import MAETrainer
+
+TINY = PrithviConfig(
+    img_size=32, patch_size=8, num_frames=1, tubelet_size=1, in_chans=6,
+    embed_dim=64, depth=2, num_heads=4, decoder_embed_dim=48, decoder_depth=1,
+    decoder_num_heads=4,
+)
+
+
+@pytest.fixture(scope="module")
+def mae_run(fixture_dir):
+    c = mae_cfg.base_config(aoi="small")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 2
+    c.datamodule.random_crop_size = 32
+    c.datamodule.data_split = (0.5, 0.5, 0.0)
+    c.train.from_scratch = True
+    c.train.lr = 1e-3
+    # MAE pipeline reads sentinel rasters only (no labels required)
+    source = TiffSource("small", "osm-multiclass", data_dir=fixture_dir, require_labels=False)
+    dm = Datamodule(
+        DatamoduleConfig(
+            dataset_cfg=DatasetConfig(aoi="small", label_map="osm-multiclass", data_dir=str(fixture_dir)),
+            batch_size=2,
+            data_split=(0.5, 0.5, 0.0),
+            random_crop_size=32,
+        ),
+        source=source,
+    )
+    trainer = MAETrainer(c, dm, mesh=mesh_lib.make_mesh(1), model_config=TINY)
+    history = trainer.fit(epochs=6)
+    return trainer, history
+
+
+def test_mae_loss_decreases(mae_run):
+    _, history = mae_run
+    losses = [h["train/loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"MAE loss did not decrease: {losses}"
+
+
+def test_mae_val_loss_present(mae_run):
+    _, history = mae_run
+    assert "val/loss" in history[0]
+    assert np.isfinite(history[0]["val/loss"])
+
+
+def test_mae_reconstruction_shape(mae_run):
+    trainer, _ = mae_run
+    batch = next(iter(trainer.dm.eval_batches("val")))
+    rec = trainer.reconstruct(batch.images)
+    assert rec.shape == (batch.images.shape[0], 1, 32, 32, 6)
+    assert np.isfinite(rec).all()
+
+
+def test_mae_unlabeled_source(fixture_dir, tmp_path):
+    """TiffSource without label rasters yields zero labels (MAE corpus)."""
+    from s2tpu.data.dataset import make_synthetic_fixture
+    import shutil
+
+    make_synthetic_fixture(tmp_path, aoi="vie", label_map="osm-multiclass", n_segments=2, size=(32, 32))
+    shutil.rmtree(tmp_path / "vie" / "label")
+    src = TiffSource("vie", "osm-multiclass", data_dir=tmp_path, require_labels=False)
+    s = src[0]
+    assert s.x.shape == (32, 32, 6)
+    np.testing.assert_array_equal(s.y, 0)
