@@ -1,0 +1,198 @@
+"""PyTorch -> Flax weight conversion (the checkpoint-compatibility layer).
+
+Parity target: reference utils.py:62-96 (``load_prithvi`` checkpoint surgery:
+drop pos embeds, optionally drop the decoder, load the rest, regenerate
+sincos) and the ImageNet EfficientNet ckpt ingestion
+(efficientnet_unet.py:416-431, lukemelas naming).
+
+Layout conventions converted here:
+  * torch Linear weight (out, in)            -> Dense kernel (in, out)      [transpose]
+  * torch Conv2d weight (O, I, kh, kw)       -> Conv kernel (kh, kw, I, O)  [HWIO]
+  * torch depthwise Conv2d (C, 1, k, k)      -> (k, k, 1, C)
+  * torch Conv3d patch-embed (D, C, t, p, q) -> Dense kernel (t*p*q*C, D)
+    matching s2tpu patchify's (tub, p, q, c) channel-fastest feature order
+  * BatchNorm weight/bias/running_mean/var   -> scale/bias + batch_stats
+
+Position embeddings are NOT converted: the Flax model holds them as fixed
+sincos constants regenerated for the runtime ``num_frames`` — exactly the
+reference's pop-and-reinitialize behavior.
+"""
+
+from __future__ import annotations
+
+import typing
+from pathlib import Path
+
+import numpy as np
+
+from s2tpu.configs.paths import PRE_TRAINED_WEIGHTS_DIR
+
+PRITHVI_WEIGHTS_PATH = PRE_TRAINED_WEIGHTS_DIR / "Prithvi_100M.pt"
+
+
+def _to_numpy(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _linear(sd: dict, prefix: str) -> dict:
+    return {"kernel": _to_numpy(sd[f"{prefix}.weight"]).T, "bias": _to_numpy(sd[f"{prefix}.bias"])}
+
+
+def _layernorm(sd: dict, prefix: str) -> dict:
+    return {"scale": _to_numpy(sd[f"{prefix}.weight"]), "bias": _to_numpy(sd[f"{prefix}.bias"])}
+
+
+def _block(sd: dict, prefix: str) -> dict:
+    """timm ViT Block -> s2tpu Block params."""
+    return {
+        "norm1": _layernorm(sd, f"{prefix}.norm1"),
+        "norm2": _layernorm(sd, f"{prefix}.norm2"),
+        "attn": {
+            "qkv": _linear(sd, f"{prefix}.attn.qkv"),
+            "proj": _linear(sd, f"{prefix}.attn.proj"),
+        },
+        "mlp_fc1": _linear(sd, f"{prefix}.mlp.fc1"),
+        "mlp_fc2": _linear(sd, f"{prefix}.mlp.fc2"),
+    }
+
+
+def convert_prithvi_state_dict(
+    state_dict: dict, depth: int = 12, decoder_depth: int = 8, include_decoder: bool = True
+) -> dict:
+    """Prithvi_100M.pt state dict -> s2tpu PrithviMAE params pytree."""
+    sd = state_dict
+    w = _to_numpy(sd["patch_embed.proj.weight"])  # (D, C, t, p, q)
+    d_out = w.shape[0]
+    # (D, C, t, p, q) -> (t, p, q, C, D) -> (t*p*q*C, D): patchify feature order
+    kernel = w.transpose(2, 3, 4, 1, 0).reshape(-1, d_out)
+    params: dict[str, typing.Any] = {
+        "cls_token": _to_numpy(sd["cls_token"]),
+        "patch_proj": {"kernel": kernel, "bias": _to_numpy(sd["patch_embed.proj.bias"])},
+        "encoder_norm": _layernorm(sd, "norm"),
+    }
+    for i in range(depth):
+        params[f"block_{i}"] = _block(sd, f"blocks.{i}")
+    if include_decoder and "decoder_embed.weight" in sd:
+        params["decoder_embed"] = _linear(sd, "decoder_embed")
+        params["mask_token"] = _to_numpy(sd["mask_token"])
+        params["decoder_norm"] = _layernorm(sd, "decoder_norm")
+        params["decoder_pred"] = _linear(sd, "decoder_pred")
+        for i in range(decoder_depth):
+            params[f"decoder_block_{i}"] = _block(sd, f"decoder_blocks.{i}")
+    return params
+
+
+def _merge_into(template: dict, converted: dict, path: str = "") -> dict:
+    """Overlay converted leaves onto a params template (shape-checked)."""
+    out = {}
+    for key, tval in template.items():
+        if key in converted:
+            cval = converted[key]
+            if isinstance(tval, dict):
+                out[key] = _merge_into(tval, cval, f"{path}/{key}")
+            else:
+                assert tuple(np.shape(cval)) == tuple(np.shape(tval)), (
+                    f"shape mismatch at {path}/{key}: ckpt {np.shape(cval)} vs model {np.shape(tval)}"
+                )
+                out[key] = np.asarray(cval, dtype=np.asarray(tval).dtype)
+        else:
+            out[key] = tval
+    return out
+
+
+def load_prithvi_weights(
+    params_template: dict,
+    num_frames: int = 1,
+    path: str | Path | None = None,
+    include_decoder: bool = True,
+) -> dict:
+    """Load Prithvi_100M.pt into a params template (missing file -> raises)."""
+    import torch
+
+    path = Path(path) if path is not None else PRITHVI_WEIGHTS_PATH
+    if not path.exists():
+        raise FileNotFoundError(str(path))
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    converted = convert_prithvi_state_dict(sd, include_decoder=include_decoder)
+    return _merge_into(params_template, converted)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet (lukemelas ImageNet checkpoints)
+# ---------------------------------------------------------------------------
+def _conv_hwio(sd: dict, key: str) -> np.ndarray:
+    return _to_numpy(sd[key]).transpose(2, 3, 1, 0)  # (O,I,kh,kw) -> (kh,kw,I,O)
+
+
+def _bn(sd: dict, prefix: str) -> tuple[dict, dict]:
+    return (
+        {"scale": _to_numpy(sd[f"{prefix}.weight"]), "bias": _to_numpy(sd[f"{prefix}.bias"])},
+        {"mean": _to_numpy(sd[f"{prefix}.running_mean"]), "var": _to_numpy(sd[f"{prefix}.running_var"])},
+    )
+
+
+def convert_efficientnet_state_dict(
+    state_dict: dict, num_blocks: int, skip_stem: bool = True
+) -> tuple[dict, dict]:
+    """lukemelas EfficientNet-pytorch state dict -> (params, batch_stats)
+    for s2tpu EfficientNetEncoder.
+
+    ``skip_stem`` leaves the stem conv at random init when the channel count
+    differs (ImageNet ckpts are RGB; Sentinel-2 input is 6-band) — the same
+    net effect as the reference's strict=False load. The fc head is always
+    skipped (class-count mismatch).
+    """
+    sd = state_dict
+    params: dict[str, typing.Any] = {}
+    stats: dict[str, typing.Any] = {}
+    if not skip_stem:
+        params["stem_conv"] = {"kernel": _conv_hwio(sd, "_conv_stem.weight")}
+    bn_p, bn_s = _bn(sd, "_bn0")
+    params["stem_bn"], stats["stem_bn"] = bn_p, bn_s
+    for i in range(num_blocks):
+        p: dict[str, typing.Any] = {}
+        s: dict[str, typing.Any] = {}
+        pre = f"_blocks.{i}"
+        if f"{pre}._expand_conv.weight" in sd:
+            p["expand_conv"] = {"kernel": _conv_hwio(sd, f"{pre}._expand_conv.weight")}
+            p["expand_bn"], s["expand_bn"] = _bn(sd, f"{pre}._bn0")
+        p["depthwise_conv"] = {"kernel": _conv_hwio(sd, f"{pre}._depthwise_conv.weight")}
+        p["depthwise_bn"], s["depthwise_bn"] = _bn(sd, f"{pre}._bn1")
+        if f"{pre}._se_reduce.weight" in sd:
+            p["se_reduce"] = {
+                "kernel": _conv_hwio(sd, f"{pre}._se_reduce.weight"),
+                "bias": _to_numpy(sd[f"{pre}._se_reduce.bias"]),
+            }
+            p["se_expand"] = {
+                "kernel": _conv_hwio(sd, f"{pre}._se_expand.weight"),
+                "bias": _to_numpy(sd[f"{pre}._se_expand.bias"]),
+            }
+        p["project_conv"] = {"kernel": _conv_hwio(sd, f"{pre}._project_conv.weight")}
+        p["project_bn"], s["project_bn"] = _bn(sd, f"{pre}._bn2")
+        params[f"block_{i}"] = p
+        stats[f"block_{i}"] = s
+    params["head_conv"] = {"kernel": _conv_hwio(sd, "_conv_head.weight")}
+    params["head_bn"], stats["head_bn"] = _bn(sd, "_bn1")
+    return params, stats
+
+
+def load_efficientnet_weights(
+    params_template: dict,
+    batch_stats_template: dict,
+    path: str | Path,
+    encoder_key: str = "encoder",
+) -> tuple[dict, dict]:
+    """Load a lukemelas .pth into UNet params/batch_stats templates."""
+    import torch
+
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(str(path))
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    n_blocks = len({k.split(".")[1] for k in sd if k.startswith("_blocks.")})
+    conv_params, conv_stats = convert_efficientnet_state_dict(sd, n_blocks)
+    params = dict(params_template)
+    params[encoder_key] = _merge_into(params_template[encoder_key], conv_params)
+    stats = dict(batch_stats_template)
+    stats[encoder_key] = _merge_into(batch_stats_template[encoder_key], conv_stats)
+    return params, stats

@@ -1,0 +1,243 @@
+"""PyTorch->Flax conversion parity tests.
+
+The real Prithvi_100M.pt / ImageNet .pth files need network access, so these
+tests build synthetic torch state dicts with the exact upstream key naming
+and verify (a) structural conversion into our params templates and (b)
+numerical equivalence of the converted layers against torch's own ops.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from s2tpu.checkpoint import convert_torch as ct
+from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE, patchify
+
+TINY = PrithviConfig(
+    img_size=32, patch_size=8, num_frames=2, tubelet_size=1, in_chans=6,
+    embed_dim=64, depth=2, num_heads=4, decoder_embed_dim=48, decoder_depth=1,
+    decoder_num_heads=4,
+)
+
+
+def synthetic_prithvi_state_dict(cfg: PrithviConfig, seed: int = 0) -> dict:
+    g = torch.Generator().manual_seed(seed)
+    d, dd = cfg.embed_dim, cfg.decoder_embed_dim
+    mlp, dmlp = int(d * cfg.mlp_ratio), int(dd * cfg.mlp_ratio)
+
+    def lin(o, i):
+        return torch.randn(o, i, generator=g) * 0.02
+
+    sd = {
+        "cls_token": torch.randn(1, 1, d, generator=g) * 0.02,
+        "pos_embed": torch.zeros(1, cfg.num_patches + 1, d),  # dropped by converter
+        "decoder_pos_embed": torch.zeros(1, cfg.num_patches + 1, dd),
+        "mask_token": torch.randn(1, 1, dd, generator=g) * 0.02,
+        "patch_embed.proj.weight": torch.randn(
+            d, cfg.in_chans, cfg.tubelet_size, cfg.patch_size, cfg.patch_size, generator=g
+        )
+        * 0.02,
+        "patch_embed.proj.bias": torch.randn(d, generator=g) * 0.02,
+        "norm.weight": torch.ones(d),
+        "norm.bias": torch.zeros(d),
+        "decoder_embed.weight": lin(dd, d),
+        "decoder_embed.bias": torch.zeros(dd),
+        "decoder_norm.weight": torch.ones(dd),
+        "decoder_norm.bias": torch.zeros(dd),
+        "decoder_pred.weight": lin(cfg.patch_dim, dd),
+        "decoder_pred.bias": torch.zeros(cfg.patch_dim),
+    }
+    for prefix, depth, dim, hidden in [
+        ("blocks", cfg.depth, d, mlp),
+        ("decoder_blocks", cfg.decoder_depth, dd, dmlp),
+    ]:
+        for i in range(depth):
+            p = f"{prefix}.{i}"
+            sd |= {
+                f"{p}.norm1.weight": torch.ones(dim),
+                f"{p}.norm1.bias": torch.zeros(dim),
+                f"{p}.norm2.weight": torch.ones(dim),
+                f"{p}.norm2.bias": torch.zeros(dim),
+                f"{p}.attn.qkv.weight": lin(dim * 3, dim),
+                f"{p}.attn.qkv.bias": torch.zeros(dim * 3),
+                f"{p}.attn.proj.weight": lin(dim, dim),
+                f"{p}.attn.proj.bias": torch.zeros(dim),
+                f"{p}.mlp.fc1.weight": lin(hidden, dim),
+                f"{p}.mlp.fc1.bias": torch.zeros(hidden),
+                f"{p}.mlp.fc2.weight": lin(dim, hidden),
+                f"{p}.mlp.fc2.bias": torch.zeros(dim),
+            }
+    return sd
+
+
+@pytest.fixture(scope="module")
+def converted():
+    sd = synthetic_prithvi_state_dict(TINY)
+    model = PrithviMAE(TINY)
+    imgs = jnp.zeros((1, TINY.num_frames, 32, 32, 6))
+    template = jax.jit(lambda: model.init(jax.random.key(0), imgs, mask_ratio=0.0))()["params"]
+    converted = ct.convert_prithvi_state_dict(
+        sd, depth=TINY.depth, decoder_depth=TINY.decoder_depth
+    )
+    params = ct._merge_into(template, converted)
+    return sd, model, params
+
+
+def test_conversion_covers_template(converted):
+    sd, model, params = converted
+    # every converted leaf landed with matching shape (merge would assert)
+    assert set(params) == {
+        "cls_token", "patch_proj", "encoder_norm", "block_0", "block_1",
+        "decoder_embed", "mask_token", "decoder_norm", "decoder_pred", "decoder_block_0",
+    }
+
+
+def test_patch_embed_matches_conv3d(converted, rng):
+    """Our dense patch-proj on patchified input == torch Conv3d on raw input."""
+    sd, model, params = converted
+    imgs = rng.normal(size=(2, TINY.num_frames, 32, 32, 6)).astype(np.float32)
+
+    # torch conv3d wants (B, C, T, H, W)
+    t_in = torch.from_numpy(imgs.transpose(0, 4, 1, 2, 3))
+    ref = F.conv3d(
+        t_in,
+        sd["patch_embed.proj.weight"],
+        sd["patch_embed.proj.bias"],
+        stride=(TINY.tubelet_size, TINY.patch_size, TINY.patch_size),
+    )  # (B, D, T', H', W')
+    ref_tokens = ref.flatten(2).transpose(1, 2).detach().numpy()  # (B, L, D)
+
+    tokens = patchify(jnp.asarray(imgs), TINY.patch_size, TINY.tubelet_size)
+    ours = tokens @ params["patch_proj"]["kernel"] + params["patch_proj"]["bias"]
+    np.testing.assert_allclose(np.asarray(ours), ref_tokens, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_qkv_matches_torch(converted, rng):
+    """Converted qkv/proj weights reproduce torch's attention on one block."""
+    sd, model, params = converted
+    d, h = TINY.embed_dim, TINY.num_heads
+    x = rng.normal(size=(1, 10, d)).astype(np.float32)
+
+    xt = torch.from_numpy(x)
+    qkv = F.linear(xt, sd["blocks.0.attn.qkv.weight"], sd["blocks.0.attn.qkv.bias"])
+    q, k, v = qkv.reshape(1, 10, 3, h, d // h).permute(2, 0, 3, 1, 4)  # (B,H,L,Dh)
+    attn = torch.softmax(q @ k.transpose(-2, -1) / (d // h) ** 0.5, dim=-1)
+    ref = (attn @ v).transpose(1, 2).reshape(1, 10, d)
+    ref = F.linear(ref, sd["blocks.0.attn.proj.weight"], sd["blocks.0.attn.proj.bias"]).detach().numpy()
+
+    from s2tpu.models.prithvi_mae import Attention
+
+    attn_mod = Attention(d, h)
+    ours = attn_mod.apply({"params": params["block_0"]["attn"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_full_block_matches_torch(converted, rng):
+    """One full converted ViT block == torch LN/attn/MLP composition."""
+    sd, model, params = converted
+    d, h = TINY.embed_dim, TINY.num_heads
+    x = rng.normal(size=(1, 9, d)).astype(np.float32)
+    xt = torch.from_numpy(x)
+
+    def t_ln(t, w, b):
+        return F.layer_norm(t, (d,), sd[w], sd[b], eps=1e-6)
+
+    y = t_ln(xt, "blocks.0.norm1.weight", "blocks.0.norm1.bias")
+    qkv = F.linear(y, sd["blocks.0.attn.qkv.weight"], sd["blocks.0.attn.qkv.bias"])
+    q, k, v = qkv.reshape(1, 9, 3, h, d // h).permute(2, 0, 3, 1, 4)
+    a = torch.softmax(q @ k.transpose(-2, -1) / (d // h) ** 0.5, dim=-1) @ v
+    a = F.linear(a.transpose(1, 2).reshape(1, 9, d), sd["blocks.0.attn.proj.weight"], sd["blocks.0.attn.proj.bias"])
+    xt2 = xt + a
+    y2 = t_ln(xt2, "blocks.0.norm2.weight", "blocks.0.norm2.bias")
+    m = F.linear(y2, sd["blocks.0.mlp.fc1.weight"], sd["blocks.0.mlp.fc1.bias"])
+    m = F.gelu(m)
+    m = F.linear(m, sd["blocks.0.mlp.fc2.weight"], sd["blocks.0.mlp.fc2.bias"])
+    ref = (xt2 + m).detach().numpy()
+
+    from s2tpu.models.prithvi_mae import Block
+
+    block = Block(d, h, TINY.mlp_ratio)
+    ours = block.apply({"params": params["block_0"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_efficientnet_conversion_structure():
+    """Synthetic lukemelas-style state dict converts into encoder templates."""
+    from s2tpu.models.efficientnet_unet import EfficientNetEncoder, EfficientNetUNetConfig
+
+    cfg = EfficientNetUNetConfig(version="b0", in_channels=6, num_classes=4)
+    enc = EfficientNetEncoder(cfg)
+    specs = enc.block_specs
+    g = torch.Generator().manual_seed(0)
+    sd = {
+        "_conv_stem.weight": torch.randn(32, 3, 3, 3, generator=g),
+        "_bn0.weight": torch.ones(32),
+        "_bn0.bias": torch.zeros(32),
+        "_bn0.running_mean": torch.zeros(32),
+        "_bn0.running_var": torch.ones(32),
+        "_conv_head.weight": torch.randn(1280, 320, 1, 1, generator=g),
+        "_bn1.weight": torch.ones(1280),
+        "_bn1.bias": torch.zeros(1280),
+        "_bn1.running_mean": torch.zeros(1280),
+        "_bn1.running_var": torch.ones(1280),
+    }
+    for i, s in enumerate(specs):
+        mid = s.in_filters * s.expand_ratio
+        sq = max(1, int(s.in_filters * s.se_ratio))
+        pre = f"_blocks.{i}"
+        if s.expand_ratio != 1:
+            sd[f"{pre}._expand_conv.weight"] = torch.randn(mid, s.in_filters, 1, 1, generator=g)
+            sd |= {
+                f"{pre}._bn0.weight": torch.ones(mid), f"{pre}._bn0.bias": torch.zeros(mid),
+                f"{pre}._bn0.running_mean": torch.zeros(mid), f"{pre}._bn0.running_var": torch.ones(mid),
+            }
+        sd[f"{pre}._depthwise_conv.weight"] = torch.randn(mid, 1, s.kernel_size, s.kernel_size, generator=g)
+        sd |= {
+            f"{pre}._bn1.weight": torch.ones(mid), f"{pre}._bn1.bias": torch.zeros(mid),
+            f"{pre}._bn1.running_mean": torch.zeros(mid), f"{pre}._bn1.running_var": torch.ones(mid),
+        }
+        sd[f"{pre}._se_reduce.weight"] = torch.randn(sq, mid, 1, 1, generator=g)
+        sd[f"{pre}._se_reduce.bias"] = torch.zeros(sq)
+        sd[f"{pre}._se_expand.weight"] = torch.randn(mid, sq, 1, 1, generator=g)
+        sd[f"{pre}._se_expand.bias"] = torch.zeros(mid)
+        sd[f"{pre}._project_conv.weight"] = torch.randn(s.out_filters, mid, 1, 1, generator=g)
+        sd |= {
+            f"{pre}._bn2.weight": torch.ones(s.out_filters), f"{pre}._bn2.bias": torch.zeros(s.out_filters),
+            f"{pre}._bn2.running_mean": torch.zeros(s.out_filters),
+            f"{pre}._bn2.running_var": torch.ones(s.out_filters),
+        }
+
+    x = jnp.zeros((1, 32, 32, 6))
+    variables = jax.jit(lambda: enc.init(jax.random.key(0), x, train=False))()
+    conv_params, conv_stats = ct.convert_efficientnet_state_dict(sd, num_blocks=len(specs))
+    params = ct._merge_into(variables["params"], conv_params)
+    stats = ct._merge_into(variables["batch_stats"], conv_stats)
+    # converted head conv kernel actually landed (not left at init)
+    np.testing.assert_allclose(
+        np.asarray(params["head_conv"]["kernel"]),
+        sd["_conv_head.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    # converted network still runs
+    y = jax.jit(lambda v, x: enc.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, x
+    )
+    assert y.shape == (1, 4)
+
+
+def test_depthwise_conv_conversion_numerics(rng):
+    """Depthwise HWIO conversion == torch grouped conv (SAME padding, s1)."""
+    c, k = 8, 3
+    w_t = torch.from_numpy(rng.normal(size=(c, 1, k, k)).astype(np.float32))
+    x = rng.normal(size=(1, 10, 10, c)).astype(np.float32)
+    ref = F.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)), w_t, padding=1, groups=c)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    kernel = jnp.asarray(w_t.numpy().transpose(2, 3, 1, 0))  # (k,k,1,C)
+    ours = jax.lax.conv_general_dilated(
+        jnp.asarray(x), kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
