@@ -1,0 +1,118 @@
+"""Tiled sliding-window inference with on-device stitching.
+
+The reference predicts independent 224-crops only (inference_demo.py:32-41 —
+"no sliding-window/stitched large-area inference", SURVEY.md §3.5); full
+segments and arbitrary AOI mosaics need tiling. This module is the
+capability extension named in BASELINE.json's north star: overlapping tiles
+are gathered, predicted, and blended entirely on device — one jit'd program
+per (image-shape, tile, stride) — with a separable Hann window so seams
+average smoothly.
+
+All shapes are static: the tile grid is computed in Python from the image
+shape, the gather is a vmapped dynamic_slice, and the scatter-accumulate is
+a fori_loop of dynamic_update_slice adds.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tile_offsets(size: int, tile: int, stride: int) -> list[int]:
+    """Start offsets covering [0, size) with the last tile flush to the edge."""
+    if size <= tile:
+        return [0]
+    offs = list(range(0, size - tile + 1, stride))
+    if offs[-1] != size - tile:
+        offs.append(size - tile)
+    return offs
+
+
+def hann_window(tile: int, eps: float = 1e-2) -> np.ndarray:
+    """Separable 2D Hann blending window (eps floor keeps borders covered)."""
+    w = np.hanning(tile + 2)[1:-1].astype(np.float32) + eps
+    return np.outer(w, w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("predict_fn", "tile", "stride", "num_classes", "batch_size")
+)
+def _tiled_logits(
+    predict_fn: typing.Callable,
+    state,
+    image: jax.Array,
+    tile: int,
+    stride: int,
+    num_classes: int,
+    batch_size: int,
+) -> jax.Array:
+    h, w, _ = image.shape
+    ys = tile_offsets(h, tile, stride)
+    xs = tile_offsets(w, tile, stride)
+    coords = jnp.asarray([(y, x) for y in ys for x in xs], jnp.int32)
+    n_tiles = coords.shape[0]
+    pad = (-n_tiles) % batch_size
+    coords_p = jnp.concatenate([coords, jnp.zeros((pad, 2), jnp.int32)]) if pad else coords
+
+    window = jnp.asarray(hann_window(tile))
+
+    def gather(c):
+        return jax.lax.dynamic_slice(image, (c[0], c[1], 0), (tile, tile, image.shape[2]))
+
+    acc = jnp.zeros((h, w, num_classes), jnp.float32)
+    wsum = jnp.zeros((h, w, 1), jnp.float32)
+
+    n_batches = coords_p.shape[0] // batch_size
+
+    def body(b, carry):
+        acc, wsum = carry
+        batch_coords = jax.lax.dynamic_slice(coords_p, (b * batch_size, 0), (batch_size, 2))
+        tiles = jax.vmap(gather)(batch_coords)
+        logits = predict_fn(state, tiles).astype(jnp.float32)  # (B, t, t, K)
+
+        def scatter(i, carry):
+            acc, wsum = carry
+            y, x = batch_coords[i, 0], batch_coords[i, 1]
+            tile_idx = b * batch_size + i
+            valid = (tile_idx < n_tiles).astype(jnp.float32)
+            wl = logits[i] * window[:, :, None] * valid
+            cur = jax.lax.dynamic_slice(acc, (y, x, 0), (tile, tile, num_classes))
+            acc = jax.lax.dynamic_update_slice(acc, cur + wl, (y, x, 0))
+            curw = jax.lax.dynamic_slice(wsum, (y, x, 0), (tile, tile, 1))
+            wsum = jax.lax.dynamic_update_slice(
+                wsum, curw + window[:, :, None] * valid, (y, x, 0)
+            )
+            return acc, wsum
+
+        return jax.lax.fori_loop(0, batch_size, scatter, (acc, wsum))
+
+    acc, wsum = jax.lax.fori_loop(0, n_batches, body, (acc, wsum))
+    return acc / jnp.maximum(wsum, 1e-9)
+
+
+def tiled_predict(
+    predict_fn: typing.Callable,
+    state,
+    image: np.ndarray | jax.Array,
+    num_classes: int,
+    tile: int = 224,
+    overlap: int = 32,
+    batch_size: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Predict a full (H, W, C) raster -> (class_map (H, W) uint8, probs logits).
+
+    ``predict_fn(state, tiles)`` maps (B, tile, tile, C) raw-DN tiles to
+    (B, tile, tile, K) logits (e.g. SegmentationTrainer.predict_step).
+    """
+    image = jnp.asarray(image)
+    stride = tile - overlap
+    logits = _tiled_logits(
+        predict_fn, state, image, tile, stride, num_classes, batch_size
+    )
+    class_map = np.asarray(jnp.argmax(logits, axis=-1), dtype=np.uint8)
+    return class_map, np.asarray(logits)

@@ -1,0 +1,91 @@
+"""Tiled inference + plotting tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s2tpu.infer.tiled import hann_window, tile_offsets, tiled_predict
+from s2tpu.infer.writer import PredictionWriter
+from s2tpu.plotting import confusion_matrix_figure, plot_sentinel_and_mask, stretch_rgb
+
+
+def test_tile_offsets():
+    assert tile_offsets(512, 224, 192) == [0, 192, 288]
+    assert tile_offsets(224, 224, 192) == [0]
+    assert tile_offsets(100, 224, 192) == [0]
+    offs = tile_offsets(500, 128, 96)
+    assert offs[-1] == 500 - 128
+    assert all(o + 128 <= 500 for o in offs)
+
+
+def test_hann_window_positive():
+    w = hann_window(64)
+    assert w.shape == (64, 64)
+    assert (w > 0).all()
+    assert w.max() <= (1.01 + 1e-2) ** 2
+
+
+def test_tiled_predict_constant_model():
+    """A model that returns channel c = input mean + c must stitch exactly."""
+
+    def predict_fn(state, tiles):
+        base = tiles.astype(jnp.float32).mean(axis=-1, keepdims=True)  # (B,t,t,1)
+        return base + jnp.arange(3, dtype=jnp.float32)[None, None, None, :]
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 100, size=(96, 96, 2)).astype(np.int16)
+    class_map, logits = tiled_predict(
+        predict_fn, None, image, num_classes=3, tile=32, overlap=8, batch_size=4
+    )
+    assert class_map.shape == (96, 96)
+    # channel 2 always largest -> argmax == 2 everywhere
+    np.testing.assert_array_equal(class_map, 2)
+    # blended logits reproduce the per-pixel mean exactly (identical across tiles)
+    expected = image.astype(np.float32).mean(-1)
+    np.testing.assert_allclose(logits[..., 0], expected, rtol=1e-4, atol=1e-3)
+
+
+def test_tiled_predict_covers_edges():
+    """Every pixel receives weight even with non-divisible tiling."""
+
+    def predict_fn(state, tiles):
+        return jnp.ones((*tiles.shape[:3], 2), jnp.float32) * jnp.asarray([0.0, 1.0])
+
+    image = np.zeros((100, 70, 3), np.int16)
+    class_map, logits = tiled_predict(
+        predict_fn, None, image, num_classes=2, tile=32, overlap=8, batch_size=3
+    )
+    np.testing.assert_array_equal(class_map, 1)
+    assert np.isfinite(logits).all()
+
+
+def test_prediction_writer(tmp_path):
+    w = PredictionWriter(tmp_path)
+    p1 = w.write_batch(np.zeros((2, 8, 8, 4), np.float32))
+    p2 = w.write_batch(np.ones((2, 8, 8, 4), np.float32))
+    assert p1.name == "batch_0.npy" and p2.name == "batch_1.npy"
+    np.testing.assert_array_equal(np.load(p2), 1.0)
+    cm_path = w.write_class_map(7, np.full((16, 16), 3, np.uint8))
+    from s2tpu.geo.tiff import read_geotiff
+
+    data, _ = read_geotiff(cm_path)
+    np.testing.assert_array_equal(data[0], 3)
+
+
+def test_stretch_rgb():
+    chw = np.linspace(0, 4000, 3 * 16 * 16).reshape(3, 16, 16).astype(np.int16)
+    rgb = stretch_rgb(chw)
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
+    assert rgb.max() == 255 and rgb.min() == 0
+
+
+def test_figures_build():
+    rgb = np.zeros((32, 32, 3), np.uint8)
+    mask = np.random.default_rng(0).integers(0, 4, size=(32, 32))
+    fig = plot_sentinel_and_mask(rgb, mask, "osm-multiclass", pred=mask)
+    assert fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    fig2 = confusion_matrix_figure(np.eye(3), ["a", "b", "c"])
+    plt.close(fig2)
