@@ -1,0 +1,99 @@
+"""Batch inference CLI: checkpoint -> per-segment class-map GeoTIFFs + logits.
+
+Parity: reference experiments/inference_demo.py (Trainer.predict +
+CustomWriter), upgraded with tiled sliding-window prediction over the full
+512x512 segments and georeferenced raster output.
+
+    python -m s2tpu.cli.infer <ckpt_dir> [--split val] [--tiled] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from s2tpu.configs.paths import OUT_DIR
+from s2tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.configs import segmentation as cfg_lib
+    from s2tpu.data.pipeline import Datamodule
+    from s2tpu.data import statistics
+    from s2tpu.geo.tiff import read_geotiff
+    from s2tpu.infer.tiled import tiled_predict
+    from s2tpu.infer.writer import PredictionWriter
+    from s2tpu.train.trainer import SegmentationTrainer
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("ckpt_dir", help="checkpoint directory written by the training CLI")
+    p.add_argument("--split", default="val", choices=["train", "val", "test"])
+    p.add_argument("--tiled", action="store_true", help="full-segment tiled prediction")
+    p.add_argument("--out", default=None)
+    p.add_argument("--epoch", type=int, default=None, help="checkpoint epoch (default: best/latest)")
+    p.add_argument("--data-dir", default=None)
+    args = p.parse_args(argv)
+
+    ckpt = CheckpointManager(args.ckpt_dir)
+    cfg_dict = ckpt.load_config()
+    assert cfg_dict is not None, f"no config.json in {args.ckpt_dir}"
+    config = _config_from_dict(cfg_dict)
+    if args.data_dir:
+        config.datamodule.dataset_cfg.data_dir = args.data_dir
+
+    dm = Datamodule(config.datamodule)
+    stats_path = dm.source.data_dirs.base_path / "mean_std.json"
+    if stats_path.exists():
+        dm.set_mean_std(*statistics.load_mean_std(stats_path))
+    trainer = SegmentationTrainer(config, dm)
+    epoch = args.epoch if args.epoch is not None else (ckpt.best_epoch() or ckpt.latest_epoch())
+    trainer.state = ckpt.restore(trainer.state, epoch=epoch)
+    logger.info(f"Restored checkpoint epoch {epoch}")
+
+    out_dir = Path(args.out) if args.out else OUT_DIR / Path(args.ckpt_dir).name
+    writer = PredictionWriter(out_dir)
+
+    if args.tiled:
+        indices = {"train": dm.train_idx, "val": dm.val_idx, "test": dm.test_idx}[args.split]
+        for i in indices:
+            seg_id = dm.source.label_index_for(int(i)) if hasattr(dm.source, "label_index_for") else int(i)
+            raw, geo = read_geotiff(dm.source.sentinel_files[int(i)])
+            image = np.ascontiguousarray(raw.transpose(1, 2, 0))
+            class_map, _ = tiled_predict(
+                trainer.predict_step, trainer.state, image, num_classes=config.num_classes,
+                tile=config.datamodule.random_crop_size,
+            )
+            writer.write_class_map(seg_id, class_map, geo=geo)
+        logger.info(f"Wrote {len(indices)} tiled class maps to {out_dir}")
+    else:
+        for batch in dm.eval_batches(args.split):
+            logits = trainer.predict_step(trainer.state, jax.numpy.asarray(batch.images))
+            writer.write_batch(np.asarray(logits)[batch.mask])
+        logger.info(f"Wrote batch logits to {out_dir}")
+
+
+def _config_from_dict(d: dict):
+    from s2tpu.configs.segmentation import Config, DatamoduleConfig, DatasetConfig, TrainConfig
+
+    ds = DatasetConfig(**d["datamodule"]["dataset_cfg"])
+    dm_kwargs = {k: v for k, v in d["datamodule"].items() if k != "dataset_cfg"}
+    dm_kwargs["data_split"] = tuple(dm_kwargs["data_split"])
+    train_kwargs = dict(d["train"])
+    train_kwargs["betas"] = tuple(train_kwargs["betas"])
+    return Config(
+        model_name=d["model_name"],
+        datamodule=DatamoduleConfig(dataset_cfg=ds, **dm_kwargs),
+        train=TrainConfig(**train_kwargs),
+        num_classes=d.get("num_classes"),
+    )
+
+
+if __name__ == "__main__":
+    main()

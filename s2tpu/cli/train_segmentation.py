@@ -1,0 +1,155 @@
+"""Segmentation training CLI.
+
+Public surface parity with reference train_segmentation.py:292-345 (same
+positionals/flags, with the argparse positional+required defect fixed) plus
+TPU-native extras: --num-devices (data-parallel mesh size), --fsdp, --remat,
+--compute-dtype, --crop.
+
+    python -m s2tpu.cli.train_segmentation <aoi> <labels> <model> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import pprint
+
+import numpy as np
+
+from s2tpu.configs import segmentation as cfg_lib
+from s2tpu.configs.data_config import AOIs, LABEL_MAPS
+from s2tpu.configs.paths import CKPT_DIR, LOG_DIR
+from s2tpu.utils import get_logger, get_unique_run_name
+
+logger = get_logger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("aoi", choices=list(AOIs))
+    p.add_argument("labels", choices=list(LABEL_MAPS))
+    p.add_argument("model", choices=[m.value for m in cfg_lib.ModelName])
+    p.add_argument("--type", default="train", choices=["train", "debug", "overfit", "tune"])
+    p.add_argument("--loss-type", default=None, choices=[t.value for t in cfg_lib.LossType])
+    p.add_argument("--lr-scheduler", default=None, choices=[t.value for t in cfg_lib.LRSchedulerType])
+    p.add_argument("--bs", type=int, default=None, help="global batch size")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=None, help="number of epochs")
+    p.add_argument("--log-interval", type=int, default=None)
+    p.add_argument("--recompute-mean-std", action="store_true")
+    p.add_argument("--focal-loss-gamma", type=float, default=None)
+    p.add_argument("--weighted-loss", action="store_true")
+    p.add_argument("--weighted-sampling", action="store_true")
+    p.add_argument("--cosine-lr-sched-first-cycle-steps", type=int, default=None)
+    p.add_argument("--cosine-lr-sched-cycle-mult", type=float, default=None)
+    p.add_argument("--cosine-lr-sched-max-lr", type=float, default=None)
+    p.add_argument("--cosine-lr-sched-min-lr", type=float, default=None)
+    p.add_argument("--cosine-lr-sched-warmup-steps", type=int, default=None)
+    p.add_argument("--cosine-lr-sched-gamma", type=float, default=None)
+    p.add_argument("--name", default=None, help="run-name prefix")
+    p.add_argument("--wandb", action="store_true", help="DISABLE wandb logging")
+    p.add_argument("--tags", nargs="+", default=[])
+    # TPU-native knobs
+    p.add_argument("--num-devices", type=int, default=-1, help="-1 = all visible devices")
+    p.add_argument("--fsdp", action="store_true", help="shard params over the 'model' mesh axis")
+    p.add_argument("--remat", action="store_true", help="rematerialize the forward pass")
+    p.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
+    p.add_argument("--crop", type=int, default=None, help="training crop size (default 224)")
+    p.add_argument("--data-dir", default=None, help="override DATA_DIR root")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
+    config = cfg_lib.base_config(args.model, aoi=args.aoi, label_map=args.labels)
+    config = cfg_lib.set_run_type(config, args.type)
+    t, dmc = config.train, config.datamodule
+    dmc.dataset_cfg.data_dir = args.data_dir or dmc.dataset_cfg.data_dir
+    dmc.batch_size = args.bs or dmc.batch_size
+    dmc.random_crop_size = args.crop or dmc.random_crop_size
+    t.lr = args.lr or t.lr
+    t.loss_type = cfg_lib.LossType(args.loss_type) if args.loss_type else t.loss_type
+    t.max_epochs = args.epochs or t.max_epochs
+    t.log_interval = args.log_interval or t.log_interval
+    t.use_wandb_logger = False if args.wandb else t.use_wandb_logger
+    t.tags.extend(args.tags)
+    t.num_devices = args.num_devices
+    t.remat = args.remat or t.remat
+    t.compute_dtype = args.compute_dtype or t.compute_dtype
+    t.seed = args.seed if args.seed is not None else t.seed
+    t.weighted_loss = args.weighted_loss or t.weighted_loss
+    t.focal_loss_gamma = args.focal_loss_gamma or t.focal_loss_gamma
+    t.lr_scheduler_type = (
+        cfg_lib.LRSchedulerType(args.lr_scheduler) if args.lr_scheduler else t.lr_scheduler_type
+    )
+    t.cosine_lr_sched_first_cycle_steps = args.cosine_lr_sched_first_cycle_steps
+    t.cosine_lr_sched_cycle_mult = args.cosine_lr_sched_cycle_mult
+    t.cosine_lr_sched_max_lr = args.cosine_lr_sched_max_lr
+    t.cosine_lr_sched_min_lr = args.cosine_lr_sched_min_lr
+    t.cosine_lr_sched_warmup_steps = args.cosine_lr_sched_warmup_steps
+    t.cosine_lr_sched_gamma = args.cosine_lr_sched_gamma
+    t.run_name = get_unique_run_name(name=args.name, postfix=t.project_name)
+    t.wandb_entity = os.getenv("WANDB_ENTITY")
+    return config
+
+
+def main(argv: list[str] | None = None) -> None:
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.data import statistics
+    from s2tpu.data.pipeline import Datamodule
+    from s2tpu.train.logging_utils import RunLogger
+    from s2tpu.train.trainer import SegmentationTrainer
+
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+    logger.info(f"Config ({args.type}):\n{pprint.pformat(dataclasses.asdict(config))}")
+
+    dm = Datamodule(config.datamodule)
+    logger.info("Computing class distribution...")
+    class_distribution = statistics.get_class_probabilities(
+        dm.source, num_classes=config.num_classes, ignore_zero_label=config.train.masked_loss
+    )
+    config.train.class_distribution = class_distribution.tolist()
+    if args.weighted_sampling:
+        config.datamodule.class_distribution = class_distribution.tolist()
+        dm = Datamodule(config.datamodule)  # rebuild with sampling weights
+
+    stats_path = dm.source.data_dirs.base_path / "mean_std.json" if hasattr(dm.source, "data_dirs") else None
+    if stats_path is not None and stats_path.exists() and not args.recompute_mean_std:
+        dm.set_mean_std(*statistics.load_mean_std(stats_path))
+    else:
+        logger.info("Computing per-band mean/std (Welford pass)...")
+        stats = statistics.calculate_mean_std(dm.source, save_path=stats_path)
+        dm.set_mean_std(np.asarray(stats["mean"]), np.asarray(stats["std"]))
+
+    run_logger = RunLogger(
+        run_name=config.train.run_name,
+        log_dir=LOG_DIR / "runs",
+        project=config.train.project_name,
+        entity=config.train.wandb_entity,
+        tags=config.train.tags,
+        config=dataclasses.asdict(config),
+        use_wandb=config.train.use_wandb_logger,
+    )
+    ckpt = CheckpointManager(
+        CKPT_DIR / config.train.project_name / config.train.run_name,
+        keep=config.train.ckpt_keep,
+        config_dict=dataclasses.asdict(config),
+    )
+    trainer = SegmentationTrainer(
+        config,
+        dm,
+        run_logger=run_logger,
+        checkpoint_manager=ckpt,
+        param_sharding="fsdp" if args.fsdp else "replicated",
+    )
+    epochs = config.train.max_epochs if config.train.max_epochs > 0 else 10**6
+    try:
+        trainer.fit(epochs=epochs)
+    finally:
+        run_logger.finish()
+
+
+if __name__ == "__main__":
+    main()
