@@ -1,0 +1,145 @@
+"""Pallas TPU flash attention (non-causal, MAE/ViT-shaped).
+
+The reference's attention lives inside timm's ViT Block and materializes the
+full (L, L) score matrix. At the Prithvi training length (L=197) XLA's fused
+``jax.nn.dot_product_attention`` is already optimal, so that remains the
+training path (models/prithvi_mae.py). This kernel is the long-sequence
+path — large-tile inference, where L = (tile/16)^2 * T tokens grows into the
+thousands and the O(L^2) score matrix stops fitting in VMEM.
+
+Design (one program per (batch*heads, q-block)):
+  * online-softmax streaming over key blocks — running max m, normalizer l,
+    and accumulator acc are carried through a fori_loop, so VMEM holds only
+    (BQ, BK) scores at a time;
+  * q@k^T and p@v both hit the MXU with preferred f32 accumulation;
+  * sequence is padded to the block size with -inf masking on padded keys.
+
+Backward uses a custom VJP that recomputes standard attention under XLA —
+training at L~200 never routes here, and the inference path needs no grad.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, seq_len: int):
+    """One q-block against all k/v blocks with online softmax.
+
+    q_ref: (1, BQ, D); k_ref/v_ref: (1, L_pad, D); o_ref: (1, BQ, D).
+    """
+    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    bq = q.shape[0]
+    d = q.shape[1]
+    l_pad = k_ref.shape[1]
+    num_kb = l_pad // block_k
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)  # (BK, D)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        # mask out padded keys
+        key_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        s = jnp.where(key_ids < seq_len, s, NEG_INF)
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    _, l_fin, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_forward(
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int, block_k: int, interpret: bool
+) -> jax.Array:
+    b, l, h, d = q.shape
+    scale = 1.0 / (d**0.5)
+    # (B, L, H, D) -> (B*H, L_pad, D)
+    def fold(x):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+        return _pad_to(x, 1, max(block_q, block_k))
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    l_pad = qf.shape[1]
+    grid = (b * h, l_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_len=l),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :l, :].reshape(b, h, l, d).transpose(0, 2, 1, 3)
+
+
+def _reference_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """XLA attention on (B, L, H, D) — backward path + numerics oracle."""
+    d = q.shape[-1]
+    s = jnp.einsum("blhd,bmhd->bhlm", q.astype(jnp.float32), k.astype(jnp.float32)) / (d**0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhlm,bmhd->blhd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """(B, L, H, D) q/k/v -> (B, L, H, D) attention output."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_forward(q, k, v, block_q, block_k, interpret)
+
+
+def _fwd(q, k, v, block_q, block_k, interpret):
+    return flash_attention(q, k, v, block_q, block_k, interpret), (q, k, v)
+
+
+def _bwd(block_q, block_k, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(_reference_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
