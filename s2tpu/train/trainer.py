@@ -317,8 +317,51 @@ class SegmentationTrainer:
                 self.run_logger.log_scalars(
                     {k: v for k, v in record.items() if k != "epoch"}, step=int(self.state.step)
                 )
+                self._log_epoch_images(val_metrics or train_metrics)
             if self.ckpt is not None and (epoch + 1) % cfg.train.ckpt_every_n_epochs == 0:
                 self.ckpt.save_epoch(epoch, self.state, metrics=record)
         if self.ckpt is not None:
             self.ckpt.wait()
         return history
+
+    def _log_epoch_images(self, epoch_metrics: dict) -> None:
+        """Confusion matrix + prediction overlays (random + fixed sample).
+
+        Parity with the reference's wandb image logging
+        (train_segmentation.py:166-219): one random validation sample and
+        sample 0 ("fixed prediction dynamics"), rendered via s2tpu.plotting.
+        """
+        import matplotlib.pyplot as plt
+
+        from s2tpu.configs.data_config import LABEL_MAPS
+        from s2tpu.plotting import confusion_matrix_figure, plot_sentinel_and_mask, stretch_rgb
+
+        try:
+            step = int(self.state.step)
+            lm = LABEL_MAPS[self.config.datamodule.dataset_cfg.label_map]
+            cm = epoch_metrics.get("confusion_matrix")
+            if cm is not None:
+                names = lm.class_names[1:] if self.config.train.masked_loss else lm.class_names
+                cm_vis = cm[1:, 1:] if (self.config.train.masked_loss and cm.shape[0] == lm.num_classes) else cm
+                fig = confusion_matrix_figure(cm_vis, names[: cm_vis.shape[0]])
+                self.run_logger.log_image("val/confusion_matrix", fig, step)
+            indices = self.dm.val_idx if len(self.dm.val_idx) else self.dm.train_idx
+            rng = np.random.default_rng(step)
+            for name, idx in (
+                ("val/segmentation", int(rng.choice(indices))),
+                ("val/fixed_prediction_dynamics", int(indices[0])),
+            ):
+                sample = self.dm.source[idx]
+                crop = self.config.datamodule.random_crop_size
+                y0 = (sample.x.shape[0] - crop) // 2
+                x0 = (sample.x.shape[1] - crop) // 2
+                img = sample.x[y0 : y0 + crop, x0 : x0 + crop]
+                lbl = sample.y[y0 : y0 + crop, x0 : x0 + crop]
+                logits = self.predict_step(self.state, jnp.asarray(img)[None])
+                pred = np.asarray(jnp.argmax(logits[0], axis=-1))
+                rgb = stretch_rgb(img.transpose(2, 0, 1))
+                fig = plot_sentinel_and_mask(rgb, lbl, lm, pred=pred)
+                self.run_logger.log_image(name, fig, step)
+                plt.close("all")
+        except Exception as e:  # noqa: BLE001 — image logging must never kill training
+            logger.warning(f"epoch image logging failed: {e}")

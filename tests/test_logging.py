@@ -1,0 +1,48 @@
+"""RunLogger + epoch image logging tests (wandb-free path)."""
+
+import json
+
+import numpy as np
+
+from s2tpu.train.logging_utils import RunLogger
+
+
+def test_run_logger_jsonl(tmp_path):
+    rl = RunLogger("testrun", tmp_path, config={"a": 1}, use_wandb=False)
+    rl.log_scalars({"train/loss": 1.5, "val/iou": 0.3}, step=10)
+    rl.log_scalars({"train/loss": 1.2}, step=20)
+    lines = [json.loads(line) for line in (tmp_path / "testrun.metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["step"] == 10 and lines[0]["train/loss"] == 1.5
+    assert lines[1]["step"] == 20
+    assert json.loads((tmp_path / "testrun.config.json").read_text()) == {"a": 1}
+    rl.finish()
+
+
+def test_run_logger_image(tmp_path):
+    rl = RunLogger("imgrun", tmp_path, use_wandb=False)
+    rl.log_image("val/mask", np.zeros((16, 16, 3), np.uint8), step=1)
+    assert (tmp_path / "imgrun" / "val_mask_1.png").exists()
+
+
+def test_trainer_epoch_image_logging(tmp_path, fixture_dir):
+    from s2tpu.configs import segmentation as cfg_lib
+    from s2tpu.data.pipeline import Datamodule
+    from s2tpu.parallel import mesh as mesh_lib
+    from s2tpu.train.trainer import SegmentationTrainer
+
+    c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 2
+    c.datamodule.data_split = (0.5, 0.5, 0.0)
+    c.datamodule.random_crop_size = 64
+    c.train.compute_dtype = "float32"
+    rl = RunLogger("epochrun", tmp_path, use_wandb=False)
+    dm = Datamodule(c.datamodule)
+    trainer = SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1), run_logger=rl)
+    c.train.run_name = "epochrun"
+    trainer.fit(epochs=1)
+    files = list((tmp_path / "epochrun").glob("*.png"))
+    names = {f.name.rsplit("_", 1)[0] for f in files}
+    assert "val_confusion_matrix" in names
+    assert "val_segmentation" in names
+    assert "val_fixed_prediction_dynamics" in names
