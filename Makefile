@@ -1,0 +1,21 @@
+.PHONY: test bench lint clean clean-logs clean-ckpts clean-out
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+lint:
+	python -m compileall -q s2tpu tests bench.py __graft_entry__.py
+
+clean: clean-logs clean-out
+
+clean-logs:
+	rm -rf logs/system logs/runs logs/profiles
+
+clean-ckpts:
+	rm -rf ckpts/*
+
+clean-out:
+	rm -rf out/*
