@@ -42,20 +42,28 @@ def random_flips(
     p_horizontal: float = 0.5,
     p_vertical: float = 0.5,
 ) -> tuple[jax.Array, jax.Array | None]:
-    """Per-sample H/V flips on (B, H, W, C) images (+ aligned (B, H, W) labels).
+    """Per-sample H/V flips on (B, [T,] H, W, C) images (+ (B, H, W) labels).
 
     Implemented as `where(flip, reversed, original)` — a static-shape select
-    XLA lowers to a cheap fused gather, no data-dependent control flow.
+    XLA lowers to a cheap fused gather, no data-dependent control flow. The
+    spatial axes are the last three (H, W, C), so multi-temporal (B, T, H,
+    W, C) batches flip all frames of a sample consistently.
     """
     kh, kv = jax.random.split(key)
     b = images.shape[0]
-    do_h = jax.random.uniform(kh, (b, 1, 1, 1)) < p_horizontal
-    do_v = jax.random.uniform(kv, (b, 1, 1, 1)) < p_vertical
-    images = jnp.where(do_h, images[:, :, ::-1, :], images)
-    images = jnp.where(do_v, images[:, ::-1, :, :], images)
+    bshape = (b,) + (1,) * (images.ndim - 1)
+    do_h = jax.random.uniform(kh, bshape) < p_horizontal
+    do_v = jax.random.uniform(kv, bshape) < p_vertical
+    flip_w = images[..., :, ::-1, :]
+    flip_h = lambda x: jnp.flip(x, axis=-3)  # noqa: E731
+    images = jnp.where(do_h, flip_w, images)
+    images = jnp.where(do_v, flip_h(images), images)
     if labels is not None:
-        labels = jnp.where(do_h[..., 0], labels[:, :, ::-1], labels)
-        labels = jnp.where(do_v[..., 0], labels[:, ::-1, :], labels)
+        lshape = (b,) + (1,) * (labels.ndim - 1)
+        lh = do_h.reshape(lshape)
+        lv = do_v.reshape(lshape)
+        labels = jnp.where(lh, labels[..., :, ::-1], labels)
+        labels = jnp.where(lv, jnp.flip(labels, axis=-2), labels)
     return images, labels
 
 

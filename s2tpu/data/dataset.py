@@ -51,6 +51,7 @@ class TiffSource(SegmentSource):
         label_map: str,
         data_dir: str | Path | None = None,
         require_labels: bool = True,
+        n_time_frames: int = 1,
     ) -> None:
         from s2tpu.geo.tiff import read_geotiff
 
@@ -68,19 +69,43 @@ class TiffSource(SegmentSource):
             raise FileNotFoundError(
                 f"No segments under {self.data_dirs.sentinel} — run the download CLIs first."
             )
+        self.n_time_frames = n_time_frames
+        if n_time_frames > 1:
+            # Multi-temporal samples: group "<segment>_<t>.tif" frames by
+            # segment, keep segments with at least T frames, stack the first
+            # T chronologically. Sample.x becomes (T, H, W, C).
+            groups: dict[int, list[Path]] = {}
+            for path in self.sentinel_files.values():
+                groups.setdefault(int(path.stem.split("_")[0]), []).append(path)
+            self._groups = [
+                (seg, sorted(paths, key=lambda p: int(p.stem.split("_")[1])))
+                for seg, paths in sorted(groups.items())
+                if len(paths) >= n_time_frames
+            ]
 
     def __len__(self) -> int:
+        if self.n_time_frames > 1:
+            return len(self._groups)
         return len(self.sentinel_files)
 
     def label_index_for(self, idx: int) -> int:
         # "<segment>_<timeidx>.tif" shares the "<segment>.tif" label raster.
+        if self.n_time_frames > 1:
+            return self._groups[idx][0]
         return int(self.sentinel_files[idx].stem.split("_")[0])
 
+    def _read_hwc(self, path: Path) -> np.ndarray:
+        img, _ = self._read(path)  # (C, H, W)
+        return np.ascontiguousarray(img.transpose(1, 2, 0))
+
     def __getitem__(self, idx: int) -> Sample:
-        img, _ = self._read(self.sentinel_files[idx])  # (C, H, W)
-        img = np.ascontiguousarray(img.transpose(1, 2, 0))
+        if self.n_time_frames > 1:
+            _, paths = self._groups[idx]
+            img = np.stack([self._read_hwc(p) for p in paths[: self.n_time_frames]])  # (T,H,W,C)
+        else:
+            img = self._read_hwc(self.sentinel_files[idx])
         if not self.has_labels:
-            return Sample(x=img, y=np.zeros(img.shape[:2], np.uint8))
+            return Sample(x=img, y=np.zeros(img.shape[-3:-1], np.uint8))
         lbl, _ = self._read(self.label_files[self.label_index_for(idx)])
         lbl = lbl[0]
         if self._lut is not None:

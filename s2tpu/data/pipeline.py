@@ -42,7 +42,11 @@ class Datamodule:
     def __init__(self, cfg: DatamoduleConfig, source: SegmentSource | None = None) -> None:
         self.cfg = cfg
         ds = cfg.dataset_cfg
-        self.source = source if source is not None else TiffSource(ds.aoi, ds.label_map, ds.data_dir)
+        self.source = (
+            source
+            if source is not None
+            else TiffSource(ds.aoi, ds.label_map, ds.data_dir, n_time_frames=ds.n_time_frames)
+        )
         self.train_idx, self.val_idx, self.test_idx = train_val_test_split(
             len(self.source), cfg.data_split, seed=cfg.shuffle_seed
         )
@@ -70,18 +74,20 @@ class Datamodule:
     # -- batching -----------------------------------------------------------
     def _sample_hw(self) -> tuple[int, int]:
         s = self.source[0]
-        return s.x.shape[0], s.x.shape[1]
+        return s.x.shape[-3], s.x.shape[-2]
 
     def _gather_crops(self, indices: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> HostBatch:
         crop = self.cfg.random_crop_size
         n = len(indices)
         first = self.source[int(indices[0])]
         c = first.x.shape[-1]
-        images = np.empty((n, crop, crop, c), dtype=np.int16)
+        # Multi-temporal samples are (T, H, W, C) -> batch (B, T, crop, crop, C).
+        lead = first.x.shape[:-3]
+        images = np.empty((n, *lead, crop, crop, c), dtype=np.int16)
         labels = np.empty((n, crop, crop), dtype=np.int32)
         for k, (i, y0, x0) in enumerate(zip(indices, ys, xs)):
             s = self.source[int(i)]
-            images[k] = s.x[y0 : y0 + crop, x0 : x0 + crop]
+            images[k] = s.x[..., y0 : y0 + crop, x0 : x0 + crop, :]
             labels[k] = s.y[y0 : y0 + crop, x0 : x0 + crop]
         return HostBatch(images, labels, np.ones(n, dtype=bool))
 

@@ -222,8 +222,41 @@ class MAETrainer:
                 self.run_logger.log_scalars(
                     {k: v for k, v in record.items() if k != "epoch"}, step=int(self.state.step)
                 )
+                self._log_reconstruction_image()
             if self.ckpt is not None and (epoch + 1) % cfg.train.ckpt_every_n_epochs == 0:
                 self.ckpt.save_epoch(epoch, self.state, metrics=record)
         if self.ckpt is not None:
             self.ckpt.wait()
         return history
+
+    def _log_reconstruction_image(self) -> None:
+        """RGB original-vs-reconstruction pair (parity: reference
+        train_mae_prithvi.py:169-203 wandb reconstruction logging)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        try:
+            split = "val" if len(self.dm.val_idx) else "train"
+            batch = next(iter(self.dm.eval_batches(split)))
+            rec = self.reconstruct(batch.images[:1])[0, 0]  # (H, W, C) denormalized
+            orig = np.asarray(batch.images[0], np.float64)
+
+            def to_rgb(img_hwc):
+                rgb = img_hwc[..., [2, 1, 0]].astype(np.float64)  # B04,B03,B02
+                lo, hi = np.percentile(rgb, [2, 98])
+                return np.clip((rgb - lo) / max(hi - lo, 1e-9), 0, 1)
+
+            fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+            axes[0].imshow(to_rgb(orig))
+            axes[0].set_title("original")
+            axes[1].imshow(to_rgb(rec))
+            axes[1].set_title(f"reconstruction (mask {self.mask_ratio:.0%})")
+            for ax in axes:
+                ax.axis("off")
+            fig.tight_layout()
+            self.run_logger.log_image("val/reconstruction", fig, int(self.state.step))
+            plt.close("all")
+        except Exception as e:  # noqa: BLE001 — never kill training over a plot
+            logger.warning(f"reconstruction logging failed: {e}")

@@ -99,9 +99,9 @@ class SegmentationTrainer:
 
     # ------------------------------------------------------------------
     def _model_input(self, images: jax.Array) -> jax.Array:
-        """(B, H, W, C) batch -> model input layout (adds T axis for ViT)."""
-        if self.is_prithvi:
-            return images[:, None]  # T=1; multi-frame batching stacks here
+        """Batch -> model input layout: ViT wants (B, T, H, W, C)."""
+        if self.is_prithvi and images.ndim == 4:
+            return images[:, None]  # single-frame batches get T=1
         return images
 
     def _frozen_mask(self, params):
