@@ -1,0 +1,43 @@
+"""Random-search tuner tests (tiny model, 2 trials)."""
+
+import numpy as np
+
+from s2tpu.configs import segmentation as cfg_lib
+from s2tpu.data.pipeline import Datamodule
+from s2tpu.train.tune import SearchSpace, TrialResult, apply_trial, sample_trial, tune
+
+
+def test_sample_and_apply_trial():
+    space = SearchSpace()
+    rng = np.random.default_rng(0)
+    params = sample_trial(space, rng)
+    assert space.lr_log_range[0] <= params["lr"] <= space.lr_log_range[1]
+    assert params["loss_type"] in space.loss_types
+    cfg = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    cfg2 = apply_trial(cfg, params)
+    assert cfg2.train.lr == params["lr"]
+    assert cfg2.train.loss_type.value == params["loss_type"]
+    assert cfg.train.lr != cfg2.train.lr or cfg.train.lr == params["lr"]  # deepcopy
+
+
+def test_tune_runs_trials(fixture_dir):
+    base = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    base.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    base.datamodule.batch_size = 2
+    base.datamodule.data_split = (0.5, 0.5, 0.0)
+    base.datamodule.random_crop_size = 64
+    base.train.compute_dtype = "float32"
+    base.train.class_distribution = [0.0, 0.4, 0.3, 0.3]
+    # restrict the space so both trials reuse the CE loss compile
+    space = SearchSpace(loss_types=("ce",), weighted_loss=(False,))
+
+    results = tune(
+        base,
+        datamodule_factory=lambda cfg: Datamodule(cfg.datamodule),
+        n_trials=2,
+        epochs_per_trial=1,
+        space=space,
+    )
+    assert len(results) == 2
+    assert all(isinstance(r, TrialResult) for r in results)
+    assert results[0].val_loss <= results[1].val_loss  # sorted best-first
