@@ -79,6 +79,17 @@ class Datamodule:
     def _gather_crops(self, indices: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> HostBatch:
         crop = self.cfg.random_crop_size
         n = len(indices)
+        # Packed sources take the native multithreaded gather (C++ memcpy
+        # rows straight out of the memmap; s2tpu/native/gather.cc).
+        if isinstance(self.source, PackedSource):
+            from s2tpu import native
+
+            gathered = native.gather_crops(
+                self.source.images, self.source.labels, np.asarray(indices), ys, xs, crop
+            )
+            if gathered is not None:
+                images, labels = gathered
+                return HostBatch(images, labels, np.ones(n, dtype=bool))
         first = self.source[int(indices[0])]
         c = first.x.shape[-1]
         # Multi-temporal samples are (T, H, W, C) -> batch (B, T, crop, crop, C).

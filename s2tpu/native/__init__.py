@@ -1,0 +1,106 @@
+"""Native (C++) host-runtime components, loaded via ctypes.
+
+Build happens lazily on first import (g++ -O3 -shared); everything here has
+a pure-numpy fallback so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from s2tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+_SRC = Path(__file__).parent / "gather.cc"
+_LIB = Path(__file__).parent / "libs2tpu_native.so"
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC), "-o", str(_LIB), "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception as e:  # noqa: BLE001
+        logger.warning(f"native build failed ({e}); using numpy fallback")
+        return False
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None on failure."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+        lib.gather_crops_i16_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.gather_crops_i16_u8.restype = None
+        _lib = lib
+    except OSError as e:
+        logger.warning(f"native load failed ({e}); using numpy fallback")
+    return _lib
+
+
+def gather_crops(
+    images: np.ndarray,
+    labels: np.ndarray,
+    indices: np.ndarray,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    crop: int,
+    num_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native (B,crop,crop,C) int16 + (B,crop,crop) int32 batch gather.
+
+    Returns None when preconditions fail (caller falls back to numpy):
+    requires contiguous int16 (N,H,W,C) images and uint8 (N,H,W) labels.
+    """
+    lib = load()
+    if (
+        lib is None
+        or images.dtype != np.int16
+        or labels.dtype != np.uint8
+        or images.ndim != 4
+        or not images.flags.c_contiguous
+        or not labels.flags.c_contiguous
+    ):
+        return None
+    n, h, w, c = images.shape
+    b = len(indices)
+    out = np.empty((b, crop, crop, c), np.int16)
+    lout = np.empty((b, crop, crop), np.int32)
+    idx = np.ascontiguousarray(indices, np.int64)
+    ys64 = np.ascontiguousarray(ys, np.int64)
+    xs64 = np.ascontiguousarray(xs, np.int64)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    lib.gather_crops_i16_u8(
+        images.ctypes.data, labels.ctypes.data,
+        h, w, c,
+        idx.ctypes.data, ys64.ctypes.data, xs64.ctypes.data,
+        b, crop,
+        out.ctypes.data, lout.ctypes.data,
+        num_threads,
+    )
+    return out, lout
