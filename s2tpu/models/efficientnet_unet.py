@@ -150,6 +150,29 @@ def class_prior_bias_init(class_distribution: typing.Sequence[float] | None):
     return init
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise conv layer routing to the Pallas kernel on TPU.
+
+    Parameter name/shape ("kernel", (k, k, 1, C)) matches what `nn.Conv`
+    with feature_group_count would create, so checkpoints and the torch
+    converter are agnostic to which implementation runs.
+    """
+
+    kernel_size: int
+    stride: int
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from s2tpu.ops.depthwise_conv import depthwise_conv2d
+
+        k, c = self.kernel_size, x.shape[-1]
+        kernel = self.param("kernel", conv_init, (k, k, 1, c), jnp.float32)
+        return depthwise_conv2d(
+            x.astype(self.dtype), kernel[:, :, 0, :].astype(self.dtype), stride=self.stride
+        )
+
+
 class MBConv(nn.Module):
     """Mobile inverted bottleneck: expand -> depthwise -> SE -> project."""
 
@@ -174,16 +197,8 @@ class MBConv(nn.Module):
         if s.expand_ratio != 1:
             x = nn.Conv(mid, (1, 1), use_bias=False, kernel_init=conv_init, dtype=self.dtype, name="expand_conv")(x)
             x = nn.silu(bn("expand_bn")(x))
-        x = nn.Conv(
-            mid,
-            (s.kernel_size, s.kernel_size),
-            strides=(s.stride, s.stride),
-            padding="SAME",  # XLA SAME == TF asymmetric pad == reference Conv2dSamePadding
-            feature_group_count=mid,
-            use_bias=False,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            name="depthwise_conv",
+        x = DepthwiseConv(
+            kernel_size=s.kernel_size, stride=s.stride, dtype=self.dtype, name="depthwise_conv"
         )(x)
         x = nn.silu(bn("depthwise_bn")(x))
         if 0 < s.se_ratio <= 1:

@@ -81,7 +81,7 @@ def main():
     print(f"train bs32: {32 / t:.1f} img/s ({t * 1e3:.1f} ms)", flush=True)
 
     def fwd(_):
-        return trainer.predict_step(trainer.state, img)
+        return trainer.predict_step(state, img)  # state: live (train donated the original)
 
     t = timeit(fwd)
     results["fwd_bs32"] = 32 / t
