@@ -134,9 +134,17 @@ class Config:
         if self.num_classes is None:
             self.num_classes = LABEL_MAPS[self.datamodule.dataset_cfg.label_map].num_classes
 
-    def build_model(self):
-        """Instantiate the Flax module for ``model_name`` (factory, like get_model)."""
+    def build_model(self, dtype=None):
+        """Instantiate the Flax module for ``model_name`` (factory, like get_model).
+
+        ``dtype`` is the computation dtype (defaults to train.compute_dtype);
+        parameters always stay float32.
+        """
+        import jax.numpy as jnp
+
         assert self.num_classes is not None
+        if dtype is None:
+            dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.train.compute_dtype]
         name = self.model_name.value
         if name.startswith("efficientnet-unet"):
             from s2tpu.models.efficientnet_unet import EfficientNetUNet, EfficientNetUNetConfig
@@ -147,7 +155,8 @@ class Config:
                     in_channels=6,
                     num_classes=self.num_classes,
                     class_distribution=self.train.class_distribution,
-                )
+                ),
+                dtype=dtype,
             )
         if name == ModelName.FC_PRITHVI_BACKBONE.value:
             from s2tpu.models.prithvi_seg import PrithviSegmentationConfig, PrithviSegmentationNet
@@ -160,7 +169,8 @@ class Config:
                     fcn_num_convs=1,
                     fcn_dropout=0.1,
                     frozen_backbone=True,
-                )
+                ),
+                dtype=dtype,
             )
         raise ValueError(f"Unknown model: {self.model_name}")
 
