@@ -117,6 +117,13 @@ class TrainConfig:
     ckpt_every_n_epochs: int = 1
     ckpt_keep: int = 1
 
+    def __post_init__(self) -> None:
+        # JSON round-trips (checkpoint config.json) deliver enums as strings.
+        if isinstance(self.loss_type, str):
+            self.loss_type = LossType(self.loss_type)
+        if isinstance(self.lr_scheduler_type, str):
+            self.lr_scheduler_type = LRSchedulerType(self.lr_scheduler_type)
+
 
 @dataclass
 class Config:
