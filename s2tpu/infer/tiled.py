@@ -103,16 +103,21 @@ def tiled_predict(
     tile: int = 224,
     overlap: int = 32,
     batch_size: int = 8,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Predict a full (H, W, C) raster -> (class_map (H, W) uint8, probs logits).
+    return_logits: bool = False,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Predict a full (H, W, C) raster -> (class_map (H, W) uint8, logits?).
 
     ``predict_fn(state, tiles)`` maps (B, tile, tile, C) raw-DN tiles to
     (B, tile, tile, K) logits (e.g. SegmentationTrainer.predict_step).
+
+    The blended logits stay on device unless ``return_logits`` — the argmax
+    class map is K·4 bytes/px smaller, which matters when device→host
+    bandwidth is the bottleneck (remote TPUs).
     """
     image = jnp.asarray(image)
     stride = tile - overlap
     logits = _tiled_logits(
         predict_fn, state, image, tile, stride, num_classes, batch_size
     )
-    class_map = np.asarray(jnp.argmax(logits, axis=-1), dtype=np.uint8)
-    return class_map, np.asarray(logits)
+    class_map = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.uint8))
+    return class_map, (np.asarray(logits) if return_logits else None)

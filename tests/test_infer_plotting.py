@@ -35,7 +35,7 @@ def test_tiled_predict_constant_model():
     rng = np.random.default_rng(0)
     image = rng.integers(0, 100, size=(96, 96, 2)).astype(np.int16)
     class_map, logits = tiled_predict(
-        predict_fn, None, image, num_classes=3, tile=32, overlap=8, batch_size=4
+        predict_fn, None, image, num_classes=3, tile=32, overlap=8, batch_size=4, return_logits=True
     )
     assert class_map.shape == (96, 96)
     # channel 2 always largest -> argmax == 2 everywhere
@@ -53,7 +53,7 @@ def test_tiled_predict_covers_edges():
 
     image = np.zeros((100, 70, 3), np.int16)
     class_map, logits = tiled_predict(
-        predict_fn, None, image, num_classes=2, tile=32, overlap=8, batch_size=3
+        predict_fn, None, image, num_classes=2, tile=32, overlap=8, batch_size=3, return_logits=True
     )
     np.testing.assert_array_equal(class_map, 1)
     assert np.isfinite(logits).all()
