@@ -1,0 +1,78 @@
+"""Prithvi-100M MAE pretraining throughput (BASELINE config #5).
+
+Full MAE train step (augment, patchify, 75% masking, ViT-B encoder, decoder,
+masked-MSE, Adam) at the reference pretrain batch size 64, 224² crops.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/s2tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from s2tpu.configs import mae as mae_cfg
+from s2tpu.configs.segmentation import DatamoduleConfig, DatasetConfig
+from s2tpu.data.dataset import Sample
+from s2tpu.data.pipeline import Datamodule
+from s2tpu.parallel import mesh as mesh_lib
+from s2tpu.train.mae_trainer import MAETrainer
+
+BATCH = 64
+CROP = 224
+
+
+class SyntheticSource:
+    def __init__(self, n=4, hw=256):
+        rng = np.random.default_rng(0)
+        self.images = rng.integers(0, 4000, size=(n, hw, hw, 6), dtype=np.int16)
+        self.labels = np.zeros((n, hw, hw), np.uint8)
+
+    def __len__(self):
+        return self.images.shape[0]
+
+    def __getitem__(self, idx):
+        return Sample(x=self.images[idx], y=self.labels[idx])
+
+
+def main():
+    config = mae_cfg.base_config(aoi="at")
+    config.train.from_scratch = True
+    config.train.compute_dtype = "bfloat16"
+    config.datamodule.batch_size = BATCH
+    config.datamodule.random_crop_size = CROP
+    dm = Datamodule(
+        DatamoduleConfig(
+            dataset_cfg=DatasetConfig(aoi="at", label_map="osm-multiclass"),
+            batch_size=BATCH,
+            data_split=(1.0, 0.0, 0.0),
+            random_crop_size=CROP,
+        ),
+        source=SyntheticSource(),
+    )
+    trainer = MAETrainer(config, dm, mesh=mesh_lib.make_mesh(1))
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.integers(0, 4000, size=(BATCH, CROP, CROP, 6), dtype=np.int16))
+    state = trainer.state
+    for _ in range(3):
+        state, m = trainer.train_step(state, img, trainer.base_rng)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(20):
+        state, m = trainer.train_step(state, img, trainer.base_rng)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / 20
+    print(
+        f"prithvi-100M MAE pretrain: {BATCH / dt:.1f} img/s/chip ({dt * 1e3:.1f} ms/step, "
+        f"bs={BATCH}, 224², mask 0.75, bf16)"
+    )
+
+
+if __name__ == "__main__":
+    main()
