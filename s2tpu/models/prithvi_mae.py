@@ -83,6 +83,9 @@ class PrithviConfig:
     mlp_ratio: float = 4.0
     norm_pix_loss: bool = False
     attention_impl: str = "xla"  # "xla" | "flash" (Pallas kernel)
+    # Tensor parallelism: mesh axis name to shard attention heads / MLP
+    # hidden over (requires an ambient mesh via jax.set_mesh). None = off.
+    tp_axis: str | None = None
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -150,11 +153,22 @@ def unpatchify(tokens: jax.Array, grid: tuple[int, int, int], patch: int, tubele
 # ---------------------------------------------------------------------------
 # transformer blocks
 # ---------------------------------------------------------------------------
+def _constrain(x: jax.Array, spec) -> jax.Array:
+    """Sharding constraint that is a no-op outside jit / without a mesh."""
+    from jax.sharding import PartitionSpec
+
+    try:
+        return jax.lax.with_sharding_constraint(x, PartitionSpec(*spec))
+    except (ValueError, RuntimeError):
+        return x  # no ambient mesh (single-device / eager use)
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: typing.Any = jnp.float32
     impl: str = "xla"
+    tp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -163,12 +177,17 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(b, l, 3, self.num_heads, head_dim), 3, axis=2)
         q, k, v = (t.squeeze(2) for t in (q, k, v))  # (B, L, H, Dh)
+        if self.tp_axis:
+            # tensor parallelism: heads sharded over the model axis
+            q, k, v = (_constrain(t, (None, None, self.tp_axis, None)) for t in (q, k, v))
         if self.impl == "flash" and l >= 512:
             from s2tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)
         else:
             out = jax.nn.dot_product_attention(q, k, v)
+        if self.tp_axis:
+            out = _constrain(out, (None, None, self.tp_axis, None))
         out = out.reshape(b, l, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -181,15 +200,20 @@ class Block(nn.Module):
     mlp_ratio: float
     dtype: typing.Any = jnp.float32
     attention_impl: str = "xla"
+    tp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
-            self.dim, self.num_heads, dtype=self.dtype, impl=self.attention_impl, name="attn"
+            self.dim, self.num_heads, dtype=self.dtype, impl=self.attention_impl,
+            tp_axis=self.tp_axis, name="attn",
         )(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        if self.tp_axis:
+            # tensor parallelism: MLP hidden dim sharded over the model axis
+            y = _constrain(y, (None, None, self.tp_axis))
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
@@ -248,6 +272,7 @@ class PrithviMAE(nn.Module):
                 cfg.mlp_ratio,
                 dtype=self.dtype,
                 attention_impl=cfg.attention_impl,
+                tp_axis=cfg.tp_axis,
                 name=f"block_{i}",
             )
             for i in range(cfg.depth)
@@ -265,6 +290,7 @@ class PrithviMAE(nn.Module):
                 cfg.mlp_ratio,
                 dtype=self.dtype,
                 attention_impl=cfg.attention_impl,
+                tp_axis=cfg.tp_axis,
                 name=f"decoder_block_{i}",
             )
             for i in range(cfg.decoder_depth)
