@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop", type=int, default=None, help="training crop size (default 224)")
     p.add_argument("--data-dir", default=None, help="override DATA_DIR root")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--resume-from", default=None,
+        help="checkpoint dir of a previous run — restores latest state and continues",
+    )
     return p
 
 
@@ -132,10 +136,13 @@ def main(argv: list[str] | None = None) -> None:
         config=dataclasses.asdict(config),
         use_wandb=config.train.use_wandb_logger,
     )
+    ckpt_dir = (
+        args.resume_from
+        if args.resume_from
+        else CKPT_DIR / config.train.project_name / config.train.run_name
+    )
     ckpt = CheckpointManager(
-        CKPT_DIR / config.train.project_name / config.train.run_name,
-        keep=config.train.ckpt_keep,
-        config_dict=dataclasses.asdict(config),
+        ckpt_dir, keep=config.train.ckpt_keep, config_dict=dataclasses.asdict(config)
     )
     trainer = SegmentationTrainer(
         config,
@@ -144,9 +151,10 @@ def main(argv: list[str] | None = None) -> None:
         checkpoint_manager=ckpt,
         param_sharding="fsdp" if args.fsdp else "replicated",
     )
+    start_epoch = trainer.resume_from_checkpoint() if args.resume_from else 0
     epochs = config.train.max_epochs if config.train.max_epochs > 0 else 10**6
     try:
-        trainer.fit(epochs=epochs)
+        trainer.fit(epochs=epochs, start_epoch=start_epoch)
     finally:
         run_logger.finish()
 

@@ -290,14 +290,29 @@ class SegmentationTrainer:
             acc.update(np.asarray(m["cm"]), float(m["loss"]))
         return acc.compute()
 
-    def fit(self, epochs: int | None = None) -> list[dict]:
+    def resume_from_checkpoint(self, epoch: int | None = None) -> int:
+        """Restore trainer state from the attached checkpoint manager.
+
+        Returns the epoch to continue from (restored epoch + 1); 0 when no
+        checkpoint exists. Crash-resume parity for training (the reference
+        only had download-resume; Lightning's ckpt resume equivalent).
+        """
+        assert self.ckpt is not None, "resume requires a checkpoint manager"
+        latest = epoch if epoch is not None else self.ckpt.latest_epoch()
+        if latest is None:
+            return 0
+        self.state = self.ckpt.restore(self.state, epoch=latest)
+        logger.info(f"Resumed from checkpoint epoch {latest} (step {int(self.state.step)})")
+        return latest + 1
+
+    def fit(self, epochs: int | None = None, start_epoch: int = 0) -> list[dict]:
         cfg = self.config
         max_epochs = epochs if epochs is not None else cfg.train.max_epochs
         assert max_epochs > 0, "fit() needs an explicit positive epoch count"
         if cfg.train.run_name is None:
             cfg.train.run_name = get_unique_run_name(postfix=cfg.train.project_name)
         history: list[dict] = []
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             train_metrics = self.run_train_epoch(epoch)
             val_metrics = self.run_eval_epoch("val") if len(self.dm.val_idx) else {}
             record = {
