@@ -1,7 +1,10 @@
-.PHONY: test bench lint clean clean-logs clean-ckpts clean-out
+.PHONY: test test-fast bench lint clean clean-logs clean-ckpts clean-out
 
 test:
 	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/ -q -n 4  # pytest-xdist parallel
 
 bench:
 	python bench.py
