@@ -56,11 +56,26 @@ def _block(sd: dict, prefix: str) -> dict:
     }
 
 
+def _count_blocks(sd: dict, prefix: str) -> int:
+    idxs = {int(k.split(".")[1]) for k in sd if k.startswith(f"{prefix}.")}
+    return max(idxs) + 1 if idxs else 0
+
+
 def convert_prithvi_state_dict(
-    state_dict: dict, depth: int = 12, decoder_depth: int = 8, include_decoder: bool = True
+    state_dict: dict,
+    depth: int | None = None,
+    decoder_depth: int | None = None,
+    include_decoder: bool = True,
 ) -> dict:
-    """Prithvi_100M.pt state dict -> s2tpu PrithviMAE params pytree."""
+    """Prithvi_100M.pt state dict -> s2tpu PrithviMAE params pytree.
+
+    Encoder/decoder depths default to what the checkpoint actually contains.
+    """
     sd = state_dict
+    depth = depth if depth is not None else _count_blocks(sd, "blocks")
+    decoder_depth = (
+        decoder_depth if decoder_depth is not None else _count_blocks(sd, "decoder_blocks")
+    )
     w = _to_numpy(sd["patch_embed.proj.weight"])  # (D, C, t, p, q)
     d_out = w.shape[0]
     # (D, C, t, p, q) -> (t, p, q, C, D) -> (t*p*q*C, D): patchify feature order

@@ -156,9 +156,14 @@ def prefetch_to_device(
     sharding: jax.sharding.Sharding | None = None,
     depth: int = 2,
 ) -> typing.Iterator[HostBatch]:
-    """Background-thread device_put pipeline (double-buffered H2D transfers)."""
+    """Background-thread device_put pipeline (double-buffered H2D transfers).
+
+    Producer exceptions propagate to the consumer (re-raised from the
+    training loop) instead of silently truncating the epoch.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
+    error: list[BaseException] = []
 
     def produce() -> None:
         try:
@@ -168,6 +173,8 @@ def prefetch_to_device(
                 else:
                     batch = HostBatch(*(jax.device_put(a) for a in batch))
                 q.put(batch)
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            error.append(e)
         finally:
             q.put(stop)
 
@@ -176,5 +183,7 @@ def prefetch_to_device(
     while True:
         item = q.get()
         if item is stop:
+            if error:
+                raise error[0]
             return
         yield item
