@@ -28,7 +28,9 @@ def convert_prithvi(path: str, out: str, num_frames: int) -> None:
     sample = jnp.zeros((1, num_frames, cfg.img_size, cfg.img_size, cfg.in_chans))
     template = jax.jit(lambda: model.init(jax.random.key(0), sample, mask_ratio=0.0))()["params"]
     params = load_prithvi_weights(template, num_frames=num_frames, path=path)
-    ocp.StandardCheckpointer().save(Path(out).resolve(), params)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(out).resolve(), params)
+    ckptr.wait_until_finished()
     logger.info(f"Converted Prithvi weights -> {out}")
 
 
@@ -41,9 +43,9 @@ def convert_efficientnet(path: str, out: str, version: str) -> None:
     sample = jnp.zeros((1, 64, 64, 6))
     variables = jax.jit(lambda: model.init(jax.random.key(0), sample, train=False))()
     params, stats = load_efficientnet_weights(variables["params"], variables["batch_stats"], path)
-    ocp.StandardCheckpointer().save(
-        Path(out).resolve(), {"params": params, "batch_stats": stats}
-    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(out).resolve(), {"params": params, "batch_stats": stats})
+    ckptr.wait_until_finished()
     logger.info(f"Converted EfficientNet-{version} weights -> {out}")
 
 
