@@ -61,16 +61,33 @@ def main(argv: list[str] | None = None) -> None:
     writer = PredictionWriter(out_dir)
 
     if args.tiled:
+        from s2tpu.infer.tiled import tiled_predict_many
+
         indices = {"train": dm.train_idx, "val": dm.val_idx, "test": dm.test_idx}[args.split]
-        for i in indices:
-            seg_id = dm.source.label_index_for(int(i)) if hasattr(dm.source, "label_index_for") else int(i)
-            raw, geo = read_geotiff(dm.source.sentinel_files[int(i)])
-            image = np.ascontiguousarray(raw.transpose(1, 2, 0))
-            class_map, _ = tiled_predict(
-                trainer.predict_step, trainer.state, image, num_classes=config.num_classes,
-                tile=config.datamodule.random_crop_size,
+        group = 4  # segments per device call: tiles share one prediction queue
+        for g in range(0, len(indices), group):
+            chunk = indices[g : g + group]
+            imgs, geos, seg_ids = [], [], []
+            for i in chunk:
+                seg_id = (
+                    dm.source.label_index_for(int(i))
+                    if hasattr(dm.source, "label_index_for")
+                    else int(i)
+                )
+                raw, geo = read_geotiff(dm.source.sentinel_files[int(i)])
+                imgs.append(np.ascontiguousarray(raw.transpose(1, 2, 0)))
+                geos.append(geo)
+                seg_ids.append(seg_id)
+            # pad the group to a fixed size so one program shape serves all calls
+            real = len(imgs)
+            while len(imgs) < group:
+                imgs.append(np.zeros_like(imgs[0]))
+            class_maps, _ = tiled_predict_many(
+                trainer.predict_step, trainer.state, np.stack(imgs),
+                num_classes=config.num_classes, tile=config.datamodule.random_crop_size,
             )
-            writer.write_class_map(seg_id, class_map, geo=geo)
+            for seg_id, cm, geo in zip(seg_ids, class_maps[:real], geos):
+                writer.write_class_map(seg_id, cm, geo=geo)
         logger.info(f"Wrote {len(indices)} tiled class maps to {out_dir}")
     else:
         for batch in dm.eval_batches(args.split):

@@ -45,47 +45,58 @@ def hann_window(tile: int, eps: float = 1e-2) -> np.ndarray:
 def _tiled_logits(
     predict_fn: typing.Callable,
     state,
-    image: jax.Array,
+    images: jax.Array,
     tile: int,
     stride: int,
     num_classes: int,
     batch_size: int,
 ) -> jax.Array:
-    h, w, _ = image.shape
+    """(N, H, W, C) rasters -> (N, H, W, K) Hann-blended logits.
+
+    Tiles from ALL images form one flat work queue consumed in
+    ``batch_size`` chunks, so per-call dispatch and transfer overheads
+    amortize across segments.
+    """
+    n, h, w, _ = images.shape
     ys = tile_offsets(h, tile, stride)
     xs = tile_offsets(w, tile, stride)
-    coords = jnp.asarray([(y, x) for y in ys for x in xs], jnp.int32)
+    # (img, y, x) triples for every tile of every image
+    coords = jnp.asarray(
+        [(i, y, x) for i in range(n) for y in ys for x in xs], jnp.int32
+    )
     n_tiles = coords.shape[0]
     pad = (-n_tiles) % batch_size
-    coords_p = jnp.concatenate([coords, jnp.zeros((pad, 2), jnp.int32)]) if pad else coords
+    coords_p = jnp.concatenate([coords, jnp.zeros((pad, 3), jnp.int32)]) if pad else coords
 
     window = jnp.asarray(hann_window(tile))
 
     def gather(c):
-        return jax.lax.dynamic_slice(image, (c[0], c[1], 0), (tile, tile, image.shape[2]))
+        return jax.lax.dynamic_slice(
+            images, (c[0], c[1], c[2], 0), (1, tile, tile, images.shape[3])
+        )[0]
 
-    acc = jnp.zeros((h, w, num_classes), jnp.float32)
-    wsum = jnp.zeros((h, w, 1), jnp.float32)
+    acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
+    wsum = jnp.zeros((n, h, w, 1), jnp.float32)
 
     n_batches = coords_p.shape[0] // batch_size
 
     def body(b, carry):
         acc, wsum = carry
-        batch_coords = jax.lax.dynamic_slice(coords_p, (b * batch_size, 0), (batch_size, 2))
+        batch_coords = jax.lax.dynamic_slice(coords_p, (b * batch_size, 0), (batch_size, 3))
         tiles = jax.vmap(gather)(batch_coords)
         logits = predict_fn(state, tiles).astype(jnp.float32)  # (B, t, t, K)
 
         def scatter(i, carry):
             acc, wsum = carry
-            y, x = batch_coords[i, 0], batch_coords[i, 1]
+            img, y, x = batch_coords[i, 0], batch_coords[i, 1], batch_coords[i, 2]
             tile_idx = b * batch_size + i
             valid = (tile_idx < n_tiles).astype(jnp.float32)
-            wl = logits[i] * window[:, :, None] * valid
-            cur = jax.lax.dynamic_slice(acc, (y, x, 0), (tile, tile, num_classes))
-            acc = jax.lax.dynamic_update_slice(acc, cur + wl, (y, x, 0))
-            curw = jax.lax.dynamic_slice(wsum, (y, x, 0), (tile, tile, 1))
+            wl = (logits[i] * window[:, :, None] * valid)[None]
+            cur = jax.lax.dynamic_slice(acc, (img, y, x, 0), (1, tile, tile, num_classes))
+            acc = jax.lax.dynamic_update_slice(acc, cur + wl, (img, y, x, 0))
+            curw = jax.lax.dynamic_slice(wsum, (img, y, x, 0), (1, tile, tile, 1))
             wsum = jax.lax.dynamic_update_slice(
-                wsum, curw + window[:, :, None] * valid, (y, x, 0)
+                wsum, curw + (window[:, :, None] * valid)[None], (img, y, x, 0)
             )
             return acc, wsum
 
@@ -114,10 +125,32 @@ def tiled_predict(
     class map is K·4 bytes/px smaller, which matters when device→host
     bandwidth is the bottleneck (remote TPUs).
     """
-    image = jnp.asarray(image)
+    class_maps, logits = tiled_predict_many(
+        predict_fn, state, jnp.asarray(image)[None], num_classes, tile, overlap,
+        batch_size, return_logits,
+    )
+    return class_maps[0], (logits[0] if logits is not None else None)
+
+
+def tiled_predict_many(
+    predict_fn: typing.Callable,
+    state,
+    images: np.ndarray | jax.Array,
+    num_classes: int,
+    tile: int = 224,
+    overlap: int = 32,
+    batch_size: int = 8,
+    return_logits: bool = False,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Batched tiled prediction over (N, H, W, C) rasters.
+
+    Tiles from all N segments share one prediction queue — use this for
+    whole-AOI inference so fixed per-call costs amortize.
+    """
+    images = jnp.asarray(images)
     stride = tile - overlap
     logits = _tiled_logits(
-        predict_fn, state, image, tile, stride, num_classes, batch_size
+        predict_fn, state, images, tile, stride, num_classes, batch_size
     )
-    class_map = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.uint8))
-    return class_map, (np.asarray(logits) if return_logits else None)
+    class_maps = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.uint8))
+    return class_maps, (np.asarray(logits) if return_logits else None)
