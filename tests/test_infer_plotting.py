@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from s2tpu.infer.tiled import hann_window, tile_offsets, tiled_predict
+from s2tpu.infer.tiled import hann_window, tile_offsets, tiled_predict, tiled_predict_many
 from s2tpu.infer.writer import PredictionWriter
 from s2tpu.plotting import confusion_matrix_figure, plot_sentinel_and_mask, stretch_rgb
 
@@ -89,3 +89,26 @@ def test_figures_build():
     plt.close(fig)
     fig2 = confusion_matrix_figure(np.eye(3), ["a", "b", "c"])
     plt.close(fig2)
+
+
+def test_tiled_predict_many_matches_single():
+    """Per-image results in a group equal single-image calls (no cross-leak)."""
+    from s2tpu.infer.tiled import tiled_predict_many
+
+    def predict_fn(state, tiles):
+        base = tiles.astype(jnp.float32).mean(axis=-1, keepdims=True)
+        return base + jnp.arange(3, dtype=jnp.float32)[None, None, None, :]
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 100, size=(3, 96, 96, 2)).astype(np.int16)
+    group_maps, group_logits = tiled_predict_many(
+        predict_fn, None, images, num_classes=3, tile=32, overlap=8, batch_size=5,
+        return_logits=True,
+    )
+    for i in range(3):
+        single_map, single_logits = tiled_predict(
+            predict_fn, None, images[i], num_classes=3, tile=32, overlap=8, batch_size=5,
+            return_logits=True,
+        )
+        np.testing.assert_array_equal(group_maps[i], single_map)
+        np.testing.assert_allclose(group_logits[i], single_logits, rtol=1e-5, atol=1e-5)
