@@ -55,6 +55,12 @@ def compute_metrics(cm: jax.Array | np.ndarray, ignore_background: bool = False)
     Returns mIoU (macro over classes with support, torchmetrics-Jaccard
     style), per-class IoU, micro accuracy, macro F1, and the row-normalized
     confusion matrix.
+
+    Note on masked semantics: under ``masked_loss`` the trainer accumulates
+    the CM with ignore_index=0, so ALL derived metrics exclude unlabeled
+    pixels. The reference only masked its confusion matrix while IoU/acc/F1
+    included the background class (train_segmentation.py:53-63) — a
+    documented inconsistency there; here the metrics agree with the loss.
     """
     cm = np.asarray(cm, np.float64)
     if ignore_background:
