@@ -56,6 +56,11 @@ class SegmentationTrainer:
         self.dm = datamodule
         self.param_sharding = param_sharding
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(config.train.num_devices)
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        assert config.datamodule.batch_size % n_data == 0, (
+            f"batch_size {config.datamodule.batch_size} must be divisible by the "
+            f"data-parallel mesh size {n_data} (set train.num_devices or batch size)"
+        )
         self.model = config.build_model()
         self.is_prithvi = config.model_name.value.startswith("fc-prithvi")
         self.compute_dtype = _dtype_from_name(config.train.compute_dtype)

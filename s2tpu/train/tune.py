@@ -66,6 +66,7 @@ def tune(
     epochs_per_trial: int = 3,
     seed: int = 0,
     space: SearchSpace | None = None,
+    mesh=None,
 ) -> list[TrialResult]:
     """Run random-search trials; returns results sorted best-first."""
     from s2tpu.train.trainer import SegmentationTrainer
@@ -77,7 +78,7 @@ def tune(
         params = sample_trial(space, rng)
         cfg = apply_trial(base_config, params)
         dm = datamodule_factory(cfg)
-        trainer = SegmentationTrainer(cfg, dm)
+        trainer = SegmentationTrainer(cfg, dm, mesh=mesh)
         history = trainer.fit(epochs=epochs_per_trial)
         val_losses = [h.get("val/loss", float("inf")) for h in history]
         val_ious = [h.get("val/iou", 0.0) for h in history]

@@ -31,12 +31,15 @@ def test_tune_runs_trials(fixture_dir):
     # restrict the space so both trials reuse the CE loss compile
     space = SearchSpace(loss_types=("ce",), weighted_loss=(False,))
 
+    from s2tpu.parallel import mesh as mesh_lib
+
     results = tune(
         base,
         datamodule_factory=lambda cfg: Datamodule(cfg.datamodule),
         n_trials=2,
         epochs_per_trial=1,
         space=space,
+        mesh=mesh_lib.make_mesh(1),
     )
     assert len(results) == 2
     assert all(isinstance(r, TrialResult) for r in results)
