@@ -48,11 +48,19 @@ def main(argv: list[str] | None = None) -> None:
     if args.data_dir:
         config.datamodule.dataset_cfg.data_dir = args.data_dir
 
+    from s2tpu.parallel import mesh as mesh_lib
+
     dm = Datamodule(config.datamodule)
     stats_path = dm.source.data_dirs.base_path / "mean_std.json"
     if stats_path.exists():
         dm.set_mean_std(*statistics.load_mean_std(stats_path))
-    trainer = SegmentationTrainer(config, dm)
+    # Inference runs single-device unless the batch is shardable over more.
+    n_dev = 1
+    for n in range(len(jax.devices()), 0, -1):
+        if config.datamodule.batch_size % n == 0:
+            n_dev = n
+            break
+    trainer = SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(n_dev))
     epoch = args.epoch if args.epoch is not None else (ckpt.best_epoch() or ckpt.latest_epoch())
     trainer.state = ckpt.restore(trainer.state, epoch=epoch)
     logger.info(f"Restored checkpoint epoch {epoch}")
