@@ -183,8 +183,33 @@ def write_geotiff(
             f.write(s)
 
 
+def _read_with_rasterio(path: str | Path) -> tuple[np.ndarray, GeoInfo | None]:
+    """Fallback for foreign TIFFs (exotic compression/layout) when rasterio exists."""
+    import rasterio  # optional dependency — only reached on unsupported files
+
+    with rasterio.open(path) as src:
+        data = src.read()
+        t = src.transform
+        geo = GeoInfo(west=t.c, north=t.f, pixel_size_x=t.a, pixel_size_y=-t.e)
+    return data, geo
+
+
 def read_geotiff(path: str | Path) -> tuple[np.ndarray, GeoInfo | None]:
-    """Read a TIFF into a (C, H, W) array plus geo metadata (if present)."""
+    """Read a TIFF into a (C, H, W) array plus geo metadata (if present).
+
+    Handles the subset this codec writes natively; foreign files that use
+    unsupported compression/tiling fall through to rasterio when installed.
+    """
+    try:
+        return _read_geotiff_native(path)
+    except (ValueError, KeyError) as native_err:
+        try:
+            return _read_with_rasterio(path)
+        except ImportError:
+            raise native_err from None
+
+
+def _read_geotiff_native(path: str | Path) -> tuple[np.ndarray, GeoInfo | None]:
     with open(path, "rb") as f:
         blob = f.read()
     if blob[:2] == b"II":
