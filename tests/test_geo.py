@@ -68,6 +68,10 @@ def test_segment_grid_scales():
     # fr-lyon should be ~120 segments, fr-test 24 (data_config.py:66-67).
     assert len(calculate_segments(AOIs["fr-lyon"], SEGMENT_LENGTH_KM)) == 120
     assert len(calculate_segments(AOIs["fr-test"], SEGMENT_LENGTH_KM)) == 24
+    # "fr" is documented as ~12.4k segments (data_config.py:65) — our Vincenty
+    # geodesic reproduces the same grid size.
+    assert len(calculate_segments(AOIs["fr"], SEGMENT_LENGTH_KM)) == 12474
+    assert len(calculate_segments(AOIs["at"], SEGMENT_LENGTH_KM)) == 6832
 
 
 def test_pixel_size():
