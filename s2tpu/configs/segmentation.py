@@ -85,6 +85,9 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     remat: bool = False  # jax.checkpoint the encoder to trade FLOPs for HBM
     donate_state: bool = True  # donate train-state buffers to the jit'd step
+    # Upload the packed corpus to HBM once and crop on device — per step the
+    # host sends only index/offset vectors (see s2tpu/data/device_corpus.py).
+    device_corpus: bool = False
 
     # trainer
     max_epochs: int = -1

@@ -99,6 +99,11 @@ class SegmentationTrainer:
             gamma=t.cosine_lr_sched_gamma,
         )
         self.base_rng = jax.random.key(t.seed)
+        self.corpus = None
+        if t.device_corpus:
+            from s2tpu.data.device_corpus import DeviceCorpus
+
+            self.corpus = DeviceCorpus(datamodule.source)
         self.state = self._init_state()
         self._build_steps()
 
@@ -240,8 +245,24 @@ class SegmentationTrainer:
             )
             return {"loss": out.total, "cm": cm}
 
+        def train_step_indexed(state, corpus_images, corpus_labels, idx, ys, xs, rng):
+            """Device-corpus step: crop gather happens on device (idx/ys/xs
+            are the only per-step host->device traffic)."""
+            crop = dm_cfg.random_crop_size
+
+            def one(i, y, x):
+                img = jax.lax.dynamic_slice(
+                    corpus_images, (i, y, x, 0), (1, crop, crop, corpus_images.shape[3])
+                )[0]
+                lbl = jax.lax.dynamic_slice(corpus_labels, (i, y, x), (1, crop, crop))[0]
+                return img, lbl
+
+            images, labels = jax.vmap(one)(idx, ys, xs)
+            return train_step(state, images, labels, rng)
+
         donate = ("state",) if cfg.train.donate_state else ()
         self.train_step = jax.jit(train_step, donate_argnames=donate)
+        self.train_step_indexed = jax.jit(train_step_indexed, donate_argnames=donate)
         self.eval_step = jax.jit(eval_step)
         self.predict_step = jax.jit(self._predict)
 
@@ -258,7 +279,48 @@ class SegmentationTrainer:
     def _data_sharding(self):
         return mesh_lib.data_sharding(self.mesh)
 
+    def _run_train_epoch_device_corpus(self, epoch: int) -> dict:
+        """Epoch loop with the corpus resident in HBM: the host only samples
+        indices/offsets (three tiny int32 vectors per step)."""
+        from s2tpu.data.device_corpus import sample_crop_batch
+
+        cfg = self.config
+        bs = cfg.datamodule.batch_size
+        overfit = cfg.train.overfit_batches
+        rng = np.random.default_rng(
+            cfg.datamodule.shuffle_seed if overfit > 0 else (cfg.datamodule.shuffle_seed, epoch)
+        )
+        if self.dm._sample_weights is not None:
+            w = self.dm._sample_weights[self.dm.train_idx]
+            order = rng.choice(self.dm.train_idx, size=len(self.dm.train_idx), replace=True, p=w / w.sum())
+        else:
+            order = rng.permutation(self.dm.train_idx)
+        n_batches = max(len(order) // bs, 1) if overfit > 0 else len(order) // bs
+        if overfit > 0:
+            n_batches = min(overfit, n_batches)
+            order = np.concatenate([order] * max(1, bs * n_batches // max(len(order), 1) + 1))
+        acc_loss, acc_cm = None, None
+        t0 = time.time()
+        random_crop = cfg.datamodule.augment and overfit == 0
+        for b in range(n_batches):
+            idx, ys, xs = sample_crop_batch(
+                rng, order, b, bs, self.corpus.hw, cfg.datamodule.random_crop_size, random_crop
+            )
+            self.state, m = self.train_step_indexed(
+                self.state, self.corpus.images, self.corpus.labels, idx, ys, xs, self.base_rng
+            )
+            acc_loss = m["loss"] if acc_loss is None else acc_loss + m["loss"]
+            acc_cm = m["cm"] if acc_cm is None else acc_cm + m["cm"]
+        if n_batches == 0:
+            return {}
+        out = metrics_lib.compute_metrics(np.asarray(acc_cm))
+        out["loss"] = float(acc_loss) / n_batches
+        out["images_per_sec"] = n_batches * bs / max(time.time() - t0, 1e-9)
+        return out
+
     def run_train_epoch(self, epoch: int) -> dict:
+        if self.corpus is not None:
+            return self._run_train_epoch_device_corpus(epoch)
         cfg = self.config
         acc_loss, acc_cm, n = None, None, 0
         t0 = time.time()
