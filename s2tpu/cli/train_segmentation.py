@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-devices", type=int, default=-1, help="-1 = all visible devices")
     p.add_argument("--fsdp", action="store_true", help="shard params over the 'model' mesh axis")
     p.add_argument("--remat", action="store_true", help="rematerialize the forward pass")
+    p.add_argument(
+        "--device-corpus", action="store_true",
+        help="upload the packed corpus to HBM once; crop/augment on device",
+    )
     p.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
     p.add_argument("--crop", type=int, default=None, help="training crop size (default 224)")
     p.add_argument("--data-dir", default=None, help="override DATA_DIR root")
@@ -80,6 +84,7 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     t.tags.extend(args.tags)
     t.num_devices = args.num_devices
     t.remat = args.remat or t.remat
+    t.device_corpus = args.device_corpus or t.device_corpus
     t.compute_dtype = args.compute_dtype or t.compute_dtype
     t.seed = args.seed if args.seed is not None else t.seed
     t.weighted_loss = args.weighted_loss or t.weighted_loss
