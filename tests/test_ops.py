@@ -93,3 +93,15 @@ def test_fused_focal_gradient(ce_data):
         lambda lg: losses.focal_loss(lg, labels, alpha, gamma=2.0, ignore_index=0)
     )(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-6)
+
+
+def test_fused_ce_large_class_count(rng):
+    """K=24 (cnes-full) exercises sublane padding in the transposed layout."""
+    logits = jnp.asarray(rng.normal(size=(2, 16, 16, 24)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 24, size=(2, 16, 16)).astype(np.int32))
+    ours = fused_cross_entropy(logits, labels, ignore_index=0, interpret=True)
+    ref = losses.cross_entropy(logits, labels, ignore_index=0)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+    g1 = jax.grad(lambda lg: fused_cross_entropy(lg, labels, ignore_index=0, interpret=True))(logits)
+    g2 = jax.grad(lambda lg: losses.cross_entropy(lg, labels, ignore_index=0))(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-6)

@@ -135,3 +135,24 @@ def test_checkpoint_best_retention(tmp_path, overfit_run):
     mgr.wait()
     assert mgr.best_epoch() == 0  # lower val/loss wins
     mgr.close()
+
+
+def test_dice_focal_training_step(fixture_dir):
+    """Combined-loss path end to end (components logged per step)."""
+    import jax.numpy as jnp
+
+    c = small_config(fixture_dir)
+    c.train.loss_type = cfg_lib.LossType.DICE_FOCAL
+    c.train.weighted_loss = True
+    c.train.class_distribution = [0.0, 0.4, 0.3, 0.3]
+    dm = Datamodule(c.datamodule)
+    trainer = SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1))
+    batch = next(iter(dm.train_batches(epoch=0)))
+    _, m = trainer.train_step(
+        trainer.state, jnp.asarray(batch.images), jnp.asarray(batch.labels), trainer.base_rng
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert "dice" in m and "focal" in m
+    np.testing.assert_allclose(
+        float(m["loss"]), float(m["dice"]) + float(m["focal"]), rtol=1e-5
+    )
