@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--epochs", type=int, default=None, help="number of epochs")
     p.add_argument("--log-interval", type=int, default=None)
+    p.add_argument(
+        "--watch-interval", type=int, default=None,
+        help="grad/param-norm logging every N steps (0 disables; default 30)",
+    )
     p.add_argument("--recompute-mean-std", action="store_true")
     p.add_argument("--focal-loss-gamma", type=float, default=None)
     p.add_argument("--weighted-loss", action="store_true")
@@ -66,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--resume-from", default=None,
         help="checkpoint dir of a previous run — restores latest state and continues",
     )
+    # --type tune knobs (random search; reference stubs train_segmentation.py:284-289)
+    p.add_argument("--n-trials", type=int, default=10, help="tune: number of random-search trials")
+    p.add_argument("--epochs-per-trial", type=int, default=3, help="tune: short-fit budget per trial")
     return p
 
 
@@ -80,6 +87,7 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     t.loss_type = cfg_lib.LossType(args.loss_type) if args.loss_type else t.loss_type
     t.max_epochs = args.epochs or t.max_epochs
     t.log_interval = args.log_interval or t.log_interval
+    t.watch_interval = args.watch_interval if args.watch_interval is not None else t.watch_interval
     t.use_wandb_logger = False if args.wandb else t.use_wandb_logger
     t.tags.extend(args.tags)
     t.num_devices = args.num_devices
@@ -141,6 +149,35 @@ def main(argv: list[str] | None = None) -> None:
         config=dataclasses.asdict(config),
         use_wandb=config.train.use_wandb_logger,
     )
+    if args.type == "tune":
+        from s2tpu.train.tune import tune
+
+        if args.n_trials < 1:
+            run_logger.finish()
+            raise SystemExit("--n-trials must be >= 1 for --type tune")
+        try:
+            results = tune(
+                config,
+                datamodule_factory=lambda cfg: dm,
+                n_trials=args.n_trials,
+                epochs_per_trial=args.epochs_per_trial,
+                seed=config.train.seed,
+            )
+            for rank, r in enumerate(results):
+                run_logger.log_scalars(
+                    {"tune/val_loss": r.val_loss, "tune/val_iou": r.val_iou, **{
+                        f"tune/param_{k}": float(v)
+                        for k, v in r.params.items()
+                        if isinstance(v, (int, float))
+                    }},
+                    step=rank,
+                )
+            best = results[0]
+            logger.info(f"Best trial: {best.params} (val_loss {best.val_loss:.4f}, iou {best.val_iou:.4f})")
+            print(f"best_params={best.params}")
+        finally:
+            run_logger.finish()
+        return
     ckpt_dir = (
         args.resume_from
         if args.resume_from

@@ -92,6 +92,11 @@ class TrainConfig:
     # trainer
     max_epochs: int = -1
     log_interval: int = 50
+    # Per-layer gradient/parameter norm logging every N steps (reference
+    # logger.watch(log="all", log_freq=30), train_segmentation.py:272).
+    # 0 disables; the watch reductions are only added to the step program
+    # when a run logger is attached, so benches stay unaffected.
+    watch_interval: int = 30
     num_devices: int = -1  # -1 = all visible devices; data-parallel mesh size
     overfit_batches: int = 0  # >0: repeat the first N batches (sanity preset)
 
@@ -206,7 +211,7 @@ RunType = typing.Literal["train", "debug", "overfit", "tune"]
 
 
 def set_run_type(config: Config, run_type: RunType) -> Config:
-    return {"train": lambda c: c, "debug": debug, "overfit": overfit, "tune": lambda c: c}[run_type](config)
+    return {"train": lambda c: c, "debug": debug, "overfit": overfit, "tune": tune_preset}[run_type](config)
 
 
 def debug(config: Config) -> Config:
@@ -214,6 +219,12 @@ def debug(config: Config) -> Config:
     config.datamodule.batch_size = 1
     config.train.compute_dtype = "float32"
     config.train.tags.append("debug")
+    return config
+
+
+def tune_preset(config: Config) -> Config:
+    config.train.tags.append("tune")
+    config.train.use_wandb_logger = False  # trials log through the tune JSONL summary
     return config
 
 

@@ -36,6 +36,37 @@ class HostBatch(typing.NamedTuple):
     mask: np.ndarray  # (B,) bool — False entries are padding
 
 
+def epoch_rng(seed, epoch: int, overfit_batches: int) -> np.random.Generator:
+    """Per-epoch generator; the overfit preset pins one seed across epochs so
+    both sample order and crops are identical every epoch."""
+    return np.random.default_rng(seed if overfit_batches > 0 else (seed, epoch))
+
+
+def sample_epoch_order(
+    rng: np.random.Generator,
+    train_idx: np.ndarray,
+    sample_weights: np.ndarray | None,
+    batch_size: int,
+    overfit_batches: int,
+) -> tuple[np.ndarray, int]:
+    """One epoch's sample order: shuffled, or weighted-with-replacement when
+    per-sample weights exist; returns (order, n_drop_last_batches).
+
+    Single source of truth for both the host pipeline and the device-corpus
+    trainer loop (they must never drift — same preset, same order).
+    """
+    if sample_weights is not None:
+        w = sample_weights[train_idx]
+        order = rng.choice(train_idx, size=len(train_idx), replace=True, p=w / w.sum())
+    else:
+        order = rng.permutation(train_idx)
+    n_batches = len(order) // batch_size
+    if overfit_batches > 0:
+        n_batches = min(overfit_batches, max(n_batches, 1))
+        order = np.concatenate([order] * max(1, batch_size * n_batches // max(len(order), 1) + 1))
+    return order, n_batches
+
+
 class Datamodule:
     """Builds sources, splits, statistics, and batch iterators for one config."""
 
@@ -105,20 +136,11 @@ class Datamodule:
     def train_batches(self, epoch: int, overfit_batches: int = 0) -> typing.Iterator[HostBatch]:
         """One epoch of shuffled, randomly-cropped, drop-last train batches."""
         bs = self.cfg.batch_size
-        # Overfit preset: a fixed seed pins both sample order and crops across epochs.
-        rng = np.random.default_rng(
-            self.cfg.shuffle_seed if overfit_batches > 0 else (self.cfg.shuffle_seed, epoch)
+        rng = epoch_rng(self.cfg.shuffle_seed, epoch, overfit_batches)
+        order, n_batches = sample_epoch_order(
+            rng, self.train_idx, self._sample_weights, bs, overfit_batches
         )
-        if self._sample_weights is not None:
-            w = self._sample_weights[self.train_idx]
-            order = rng.choice(self.train_idx, size=len(self.train_idx), replace=True, p=w / w.sum())
-        else:
-            order = rng.permutation(self.train_idx)
         hw = self._sample_hw()
-        n_batches = len(order) // bs
-        if overfit_batches > 0:
-            n_batches = min(overfit_batches, max(n_batches, 1))
-            order = np.concatenate([order] * max(1, bs * n_batches // max(len(order), 1) + 1))
         for b in range(n_batches):
             idx = order[b * bs : (b + 1) * bs]
             if self.cfg.augment and overfit_batches == 0:

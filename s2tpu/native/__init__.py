@@ -7,6 +7,7 @@ a pure-numpy fallback so the framework works without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from pathlib import Path
@@ -18,16 +19,25 @@ from s2tpu.utils import get_logger
 logger = get_logger(__name__)
 
 _SRC = Path(__file__).parent / "gather.cc"
-_LIB = Path(__file__).parent / "libs2tpu_native.so"
 _lib: ctypes.CDLL | None = None
 _tried = False
 
 
-def _build() -> bool:
+def _lib_path() -> Path:
+    # The binary is keyed by a content hash of the source, so a clone with a
+    # stale artifact (git does not preserve mtimes) can never load a binary
+    # that doesn't match gather.cc. Built without -march=native: the .so may
+    # travel between hosts and a SIGILL mid-gather is worse than a few % of
+    # memcpy throughput.
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    return Path(__file__).parent / f"libs2tpu_native_{digest}.so"
+
+
+def _build(lib_path: Path) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_LIB), "-lpthread"],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC), "-o", str(lib_path), "-lpthread"],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -42,11 +52,11 @@ def load() -> ctypes.CDLL | None:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        if not _build():
-            return None
+    lib_path = _lib_path()
+    if not lib_path.exists() and not _build(lib_path):
+        return None
     try:
-        lib = ctypes.CDLL(str(_LIB))
+        lib = ctypes.CDLL(str(lib_path))
         lib.gather_crops_i16_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

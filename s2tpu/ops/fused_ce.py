@@ -82,7 +82,7 @@ def _bwd_kernel(logits_ref, labels_ref, weights_ref, g_ref, dlogits_ref, *, igno
         scale = dfocal_dce * valid
     else:
         scale = w * valid
-    dlogits_ref[:] = (g_ref[0, 0] * scale * dce).astype(dlogits_ref.dtype)
+    dlogits_ref[:] = (g_ref[:] * scale * dce).astype(dlogits_ref.dtype)
 
 
 def _pad_cols(x, multiple):
@@ -156,9 +156,10 @@ def _vjp_bwd(ignore_index, gamma, interpret, residuals, cotangents):
     lt, lab = _transpose_in(logits, labels)
     n = lt.shape[1]
     w = jnp.asarray(class_weights, jnp.float32).reshape(-1, 1)
-    # Upstream cotangent is uniform when the caller reduces with sum/mean —
-    # take the first element (documented contract: reduce with a scalar op).
-    g_scalar = g_loss.reshape(-1)[0].reshape(1, 1)
+    # The full per-pixel upstream cotangent streams through VMEM as one more
+    # (1, BLOCK_N) input, so non-uniform reductions (per-pixel/per-sample
+    # weighting before the sum) differentiate correctly too.
+    g_row = g_loss.astype(jnp.float32).reshape(1, n)
     dlt = pl.pallas_call(
         functools.partial(_bwd_kernel, ignore_index=ignore_index, gamma=gamma),
         out_shape=jax.ShapeDtypeStruct((k, n), logits.dtype),
@@ -167,11 +168,11 @@ def _vjp_bwd(ignore_index, gamma, interpret, residuals, cotangents):
             pl.BlockSpec((k, BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k, BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lt, lab, w, g_scalar)
+    )(lt, lab, w, g_row)
     n_real = 1
     for s in labels.shape:
         n_real *= s

@@ -183,11 +183,18 @@ def make_loss_fn(
 
 
 def mae_reconstruction_loss(
-    pred: jax.Array, target: jax.Array, mask: jax.Array, norm_pix: bool = False
+    pred: jax.Array,
+    target: jax.Array,
+    mask: jax.Array,
+    norm_pix: bool = False,
+    sample_weights: jax.Array | None = None,
 ) -> jax.Array:
     """MAE loss: per-patch MSE averaged over masked (removed) patches only.
 
     pred/target: (B, L, D) patch pixels; mask: (B, L) with 1 = masked.
+    sample_weights: optional (B,) 0/1 weights — rows with weight 0 (padded
+    eval entries) are excluded from both numerator and denominator, not just
+    down-weighted after reduction.
     Parity: reference prithvi.py:333-350.
     """
     target = target.astype(jnp.float32)
@@ -197,4 +204,7 @@ def mae_reconstruction_loss(
         var = target.var(axis=-1, keepdims=True)
         target = (target - mean) / jnp.sqrt(var + 1e-6)
     per_patch = ((pred - target) ** 2).mean(axis=-1)
+    mask = mask.astype(jnp.float32)
+    if sample_weights is not None:
+        mask = mask * sample_weights.astype(jnp.float32)[:, None]
     return (per_patch * mask).sum() / jnp.maximum(mask.sum(), 1e-12)

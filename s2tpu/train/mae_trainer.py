@@ -136,10 +136,22 @@ class MAETrainer:
                 images, None, rng, self.mean, self.std, dtype=self.compute_dtype, train=False
             )
             x = x[:, None] if x.ndim == 4 else x
-            loss, pred, mask = model.apply(
+            _, pred, mask = model.apply(
                 {"params": state.params}, x, mask_ratio=mask_ratio, mask_rng=rng
             )
-            # padded eval entries contribute 0 through the batch mask
+            # Recompute the loss with padded rows excluded from numerator AND
+            # denominator — the model-internal mean includes padded zero
+            # images, so weighting that scalar afterwards would not remove
+            # their contribution.
+            from s2tpu.models.prithvi_mae import patchify
+            from s2tpu.train.losses import mae_reconstruction_loss
+
+            mc = self.model_config
+            target = patchify(x, mc.patch_size, mc.tubelet_size)
+            loss = mae_reconstruction_loss(
+                pred, target, mask, norm_pix=mc.norm_pix_loss,
+                sample_weights=batch_mask,
+            )
             per_ok = batch_mask.astype(jnp.float32)
             return {"loss": loss, "weight": per_ok.mean(), "pred": pred, "mask": mask}
 

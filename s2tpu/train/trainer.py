@@ -42,6 +42,25 @@ def _dtype_from_name(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
 
 
+def _watch_norms(grads, params) -> dict:
+    """Per-layer gradient/parameter L2 norms plus the global norms, computed
+    inside the jit'd step (the TPU equivalent of the reference's
+    logger.watch(model, log="all", log_freq=30), train_segmentation.py:272)."""
+    out = {
+        "grads/global_norm": optax.global_norm(grads),
+        "params/global_norm": optax.global_norm(params),
+    }
+
+    def name_of(path) -> str:
+        return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        out[f"grads/{name_of(path)}"] = jnp.linalg.norm(leaf.astype(jnp.float32))
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        out[f"params/{name_of(path)}"] = jnp.linalg.norm(leaf.astype(jnp.float32))
+    return out
+
+
 class SegmentationTrainer:
     def __init__(
         self,
@@ -99,6 +118,9 @@ class SegmentationTrainer:
             gamma=t.cosine_lr_sched_gamma,
         )
         self.base_rng = jax.random.key(t.seed)
+        # Host-side mirror of state.step: watch-interval gating must not
+        # force a per-step device sync on the (async, donated) step counter.
+        self._host_step = 0
         self.corpus = None
         if t.device_corpus:
             from s2tpu.data.device_corpus import DeviceCorpus
@@ -109,9 +131,11 @@ class SegmentationTrainer:
 
     # ------------------------------------------------------------------
     def _model_input(self, images: jax.Array) -> jax.Array:
-        """Batch -> model input layout: ViT wants (B, T, H, W, C)."""
-        if self.is_prithvi and images.ndim == 4:
-            return images[:, None]  # single-frame batches get T=1
+        """Batch -> model input layout, keyed by dataset_cfg.squeeze_time_dim
+        (parity: reference s2osm_dataset.py:65-68): squeezed batches stay
+        (B, H, W, C) for the UNet; unsqueezed ones get T=1 for the ViT."""
+        if images.ndim == 4 and not self.config.datamodule.dataset_cfg.squeeze_time_dim:
+            return images[:, None]
         return images
 
     def _frozen_mask(self, params):
@@ -176,6 +200,8 @@ class SegmentationTrainer:
         num_classes = cfg.num_classes
         dm_cfg = cfg.datamodule
         use_remat = cfg.train.remat
+        # Watch reductions only enter the program when someone will read them.
+        watch = self.run_logger is not None and cfg.train.watch_interval > 0
 
         def apply_train(params, batch_stats, x, drop_key):
             variables = {"params": params}
@@ -226,7 +252,10 @@ class SegmentationTrainer:
             new_state = state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_stats, opt_state=new_opt
             )
-            return new_state, {"loss": loss, "cm": cm, **components}
+            out = {"loss": loss, "cm": cm, **components}
+            if watch:
+                out["watch"] = _watch_norms(grads, new_params)
+            return new_state, out
 
         def eval_step(state: TrainState, images, labels, batch_mask):
             x, _ = augment_batch(
@@ -283,22 +312,15 @@ class SegmentationTrainer:
         """Epoch loop with the corpus resident in HBM: the host only samples
         indices/offsets (three tiny int32 vectors per step)."""
         from s2tpu.data.device_corpus import sample_crop_batch
+        from s2tpu.data.pipeline import epoch_rng, sample_epoch_order
 
         cfg = self.config
         bs = cfg.datamodule.batch_size
         overfit = cfg.train.overfit_batches
-        rng = np.random.default_rng(
-            cfg.datamodule.shuffle_seed if overfit > 0 else (cfg.datamodule.shuffle_seed, epoch)
+        rng = epoch_rng(cfg.datamodule.shuffle_seed, epoch, overfit)
+        order, n_batches = sample_epoch_order(
+            rng, self.dm.train_idx, self.dm._sample_weights, bs, overfit
         )
-        if self.dm._sample_weights is not None:
-            w = self.dm._sample_weights[self.dm.train_idx]
-            order = rng.choice(self.dm.train_idx, size=len(self.dm.train_idx), replace=True, p=w / w.sum())
-        else:
-            order = rng.permutation(self.dm.train_idx)
-        n_batches = max(len(order) // bs, 1) if overfit > 0 else len(order) // bs
-        if overfit > 0:
-            n_batches = min(overfit, n_batches)
-            order = np.concatenate([order] * max(1, bs * n_batches // max(len(order), 1) + 1))
         acc_loss, acc_cm = None, None
         t0 = time.time()
         random_crop = cfg.datamodule.augment and overfit == 0
@@ -311,6 +333,7 @@ class SegmentationTrainer:
             )
             acc_loss = m["loss"] if acc_loss is None else acc_loss + m["loss"]
             acc_cm = m["cm"] if acc_cm is None else acc_cm + m["cm"]
+            self._maybe_log_watch(b, m)
         if n_batches == 0:
             return {}
         out = metrics_lib.compute_metrics(np.asarray(acc_cm))
@@ -340,12 +363,31 @@ class SegmentationTrainer:
                 self.run_logger.log_scalars(
                     {"train/loss_step": float(m["loss"])}, step=int(self.state.step)
                 )
+            self._maybe_log_watch(i, m)
         if n == 0:
             return {}
         out = metrics_lib.compute_metrics(np.asarray(acc_cm))
         out["loss"] = float(acc_loss) / n
         out["images_per_sec"] = images_seen / max(time.time() - t0, 1e-9)
         return out
+
+    def _maybe_log_watch(self, batch_idx: int, step_metrics: dict) -> None:
+        """Log grad/param norms every watch_interval GLOBAL steps (the
+        reference's log_freq counts steps, not within-epoch batches — short
+        epochs must still produce watch scalars)."""
+        del batch_idx
+        self._host_step += 1
+        wi = self.config.train.watch_interval
+        if (
+            self.run_logger is None
+            or wi <= 0
+            or self._host_step % wi != 0
+            or "watch" not in step_metrics
+        ):
+            return
+        self.run_logger.log_scalars(
+            {k: float(v) for k, v in step_metrics["watch"].items()}, step=self._host_step
+        )
 
     def run_eval_epoch(self, split: str = "val") -> dict:
         acc = metrics_lib.MetricAccumulator(self.config.num_classes)
@@ -369,6 +411,7 @@ class SegmentationTrainer:
         if latest is None:
             return 0
         self.state = self.ckpt.restore(self.state, epoch=latest)
+        self._host_step = int(self.state.step)
         logger.info(f"Resumed from checkpoint epoch {latest} (step {int(self.state.step)})")
         return latest + 1
 

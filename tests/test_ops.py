@@ -95,6 +95,31 @@ def test_fused_focal_gradient(ce_data):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-6)
 
 
+def test_fused_ce_nonuniform_cotangent(ce_data):
+    """The VJP must honor a full per-pixel cotangent, not assume a uniform
+    sum/mean reduction (callers may weight the per-pixel outputs)."""
+    logits, labels = ce_data
+    from s2tpu.ops.fused_ce import fused_ce_per_pixel
+
+    w = jnp.asarray([0.0, 0.7, 0.5, 0.8])
+    n_real = labels.size
+    pixw = jnp.asarray(np.random.default_rng(7).uniform(size=n_real).astype(np.float32))
+
+    def ours(lg):
+        loss, _ = fused_ce_per_pixel(lg, labels, w, 0, None, True)
+        return (loss[:n_real] * pixw).sum()
+
+    def ref(lg):
+        ls = jax.nn.log_softmax(lg, -1)
+        ce = -jnp.take_along_axis(ls, labels[..., None], -1)[..., 0]
+        per = ce * w[labels] * (labels != 0)
+        return (per.reshape(-1) * pixw).sum()
+
+    g1 = jax.grad(ours)(logits)
+    g2 = jax.grad(ref)(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
 def test_fused_ce_large_class_count(rng):
     """K=24 (cnes-full) exercises sublane padding in the transposed layout."""
     logits = jnp.asarray(rng.normal(size=(2, 16, 16, 24)).astype(np.float32))
