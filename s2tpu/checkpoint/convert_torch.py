@@ -191,6 +191,109 @@ def convert_efficientnet_state_dict(
     return params, stats
 
 
+def _convtrans_hwio(sd: dict, prefix: str) -> dict:
+    """torch ConvTranspose2d (I, O, kh, kw) -> flax ConvTranspose kernel
+    (kh, kw, I, O) with both spatial dims flipped (torch's transposed conv is
+    the gradient of conv — lax.conv_transpose correlates, so the kernel must
+    be mirrored; verified exact at k=2 s=2)."""
+    w = _to_numpy(sd[f"{prefix}.weight"]).transpose(2, 3, 0, 1)
+    return {
+        "kernel": np.ascontiguousarray(w[::-1, ::-1]),
+        "bias": _to_numpy(sd[f"{prefix}.bias"]),
+    }
+
+
+def _conv_with_bias(sd: dict, prefix: str) -> dict:
+    return {"kernel": _conv_hwio(sd, f"{prefix}.weight"), "bias": _to_numpy(sd[f"{prefix}.bias"])}
+
+
+def convert_reference_unet_state_dict(state_dict: dict) -> tuple[dict, dict]:
+    """Reference ``EfficientnetUnet.state_dict()`` -> (params, batch_stats)
+    for s2tpu EfficientNetUNet — the full-model checkpoint-compatibility path
+    (encoder + decoder + classifier; reference efficientnet_unet.py:106-165).
+
+    Lightning checkpoints prefix every key with ``net.`` (SegmentationModule
+    stores the model as self.net); strip it before calling, or pass the raw
+    module state dict.
+
+    Reference naming: encoder.stem.{0 conv,1 bn}; per block, ``stem`` holds
+    [expand conv, bn, act, depthwise conv, bn] (or just [depthwise, bn] when
+    expand_ratio==1), ``squeeze_excitation.{1,3}`` the SE convs,
+    ``final_layer.{0,1}`` project conv+bn; encoder.conv_head.{0,1};
+    up_convs.{i} / double_convs.{i}.{0,1,3,4}; input_up_conv /
+    input_double_conv.{0,1,3,4}; out_conv1x1.
+    """
+    sd = {k[4:] if k.startswith("net.") else k: v for k, v in state_dict.items()}
+    n_blocks = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.blocks."))
+    enc_p: dict[str, typing.Any] = {
+        "stem_conv": {"kernel": _conv_hwio(sd, "encoder.stem.0.weight")},
+    }
+    enc_s: dict[str, typing.Any] = {}
+    enc_p["stem_bn"], enc_s["stem_bn"] = _bn(sd, "encoder.stem.1")
+    for i in range(n_blocks):
+        pre = f"encoder.blocks.{i}"
+        p: dict[str, typing.Any] = {}
+        s: dict[str, typing.Any] = {}
+        if f"{pre}.stem.3.weight" in sd:  # expand_ratio != 1
+            p["expand_conv"] = {"kernel": _conv_hwio(sd, f"{pre}.stem.0.weight")}
+            p["expand_bn"], s["expand_bn"] = _bn(sd, f"{pre}.stem.1")
+            p["depthwise_conv"] = {"kernel": _conv_hwio(sd, f"{pre}.stem.3.weight")}
+            p["depthwise_bn"], s["depthwise_bn"] = _bn(sd, f"{pre}.stem.4")
+        else:
+            p["depthwise_conv"] = {"kernel": _conv_hwio(sd, f"{pre}.stem.0.weight")}
+            p["depthwise_bn"], s["depthwise_bn"] = _bn(sd, f"{pre}.stem.1")
+        if f"{pre}.squeeze_excitation.1.weight" in sd:
+            p["se_reduce"] = _conv_with_bias(sd, f"{pre}.squeeze_excitation.1")
+            p["se_expand"] = _conv_with_bias(sd, f"{pre}.squeeze_excitation.3")
+        p["project_conv"] = {"kernel": _conv_hwio(sd, f"{pre}.final_layer.0.weight")}
+        p["project_bn"], s["project_bn"] = _bn(sd, f"{pre}.final_layer.1")
+        enc_p[f"block_{i}"], enc_s[f"block_{i}"] = p, s
+    enc_p["head_conv"] = {"kernel": _conv_hwio(sd, "encoder.conv_head.0.weight")}
+    enc_p["head_bn"], enc_s["head_bn"] = _bn(sd, "encoder.conv_head.1")
+
+    params: dict[str, typing.Any] = {"encoder": enc_p}
+    stats: dict[str, typing.Any] = {"encoder": enc_s}
+
+    def double_conv(prefix: str) -> tuple[dict, dict]:
+        p = {
+            "conv0": _conv_with_bias(sd, f"{prefix}.0"),
+            "conv1": _conv_with_bias(sd, f"{prefix}.3"),
+        }
+        s = {}
+        p["bn0"], s["bn0"] = _bn(sd, f"{prefix}.1")
+        p["bn1"], s["bn1"] = _bn(sd, f"{prefix}.4")
+        return p, s
+
+    n_up = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("up_convs."))
+    for i in range(n_up):
+        params[f"up_conv{i}"] = _convtrans_hwio(sd, f"up_convs.{i}")
+        params[f"double_conv{i}"], stats[f"double_conv{i}"] = double_conv(f"double_convs.{i}")
+    if "input_up_conv.weight" in sd:
+        params["input_up_conv"] = _convtrans_hwio(sd, "input_up_conv")
+        params["input_double_conv"], stats["input_double_conv"] = double_conv("input_double_conv")
+    params["classifier"] = _conv_with_bias(sd, "out_conv1x1")
+    return params, stats
+
+
+def load_reference_unet_weights(
+    params_template: dict, batch_stats_template: dict, path: str | Path
+) -> tuple[dict, dict]:
+    """Load a reference EfficientnetUnet checkpoint (raw state dict or a
+    Lightning .ckpt with net.-prefixed keys) into s2tpu UNet templates."""
+    import torch
+
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(str(path))
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("state_dict", ckpt)
+    params, stats = convert_reference_unet_state_dict(sd)
+    return (
+        _merge_into(params_template, params),
+        _merge_into(batch_stats_template, stats),
+    )
+
+
 def load_efficientnet_weights(
     params_template: dict,
     batch_stats_template: dict,

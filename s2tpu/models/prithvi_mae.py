@@ -82,6 +82,11 @@ class PrithviConfig:
     decoder_num_heads: int = 16
     mlp_ratio: float = 4.0
     norm_pix_loss: bool = False
+    # LayerNorm epsilon. The reference-as-committed builds its Blocks with
+    # torch's default (1e-5) — prithvi.py:147 passes bare nn.LayerNorm —
+    # while the upstream published Prithvi code uses 1e-6. We match the
+    # reference (the behavioral contract); set 1e-6 to match upstream.
+    layer_norm_eps: float = 1e-5
     attention_impl: str = "xla"  # "xla" | "flash" (Pallas kernel)
     # Tensor parallelism: mesh axis name to shard attention heads / MLP
     # hidden over (requires an ambient mesh via jax.set_mesh). None = off.
@@ -201,15 +206,16 @@ class Block(nn.Module):
     dtype: typing.Any = jnp.float32
     attention_impl: str = "xla"
     tp_axis: str | None = None
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
             self.dim, self.num_heads, dtype=self.dtype, impl=self.attention_impl,
             tp_axis=self.tp_axis, name="attn",
         )(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         if self.tp_axis:
             # tensor parallelism: MLP hidden dim sharded over the model axis
@@ -273,11 +279,12 @@ class PrithviMAE(nn.Module):
                 dtype=self.dtype,
                 attention_impl=cfg.attention_impl,
                 tp_axis=cfg.tp_axis,
+                ln_eps=cfg.layer_norm_eps,
                 name=f"block_{i}",
             )
             for i in range(cfg.depth)
         ]
-        self.encoder_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="encoder_norm")
+        self.encoder_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="encoder_norm")
 
         self.decoder_embed = nn.Dense(cfg.decoder_embed_dim, dtype=self.dtype, name="decoder_embed")
         self.mask_token = self.param(
@@ -291,11 +298,12 @@ class PrithviMAE(nn.Module):
                 dtype=self.dtype,
                 attention_impl=cfg.attention_impl,
                 tp_axis=cfg.tp_axis,
+                ln_eps=cfg.layer_norm_eps,
                 name=f"decoder_block_{i}",
             )
             for i in range(cfg.decoder_depth)
         ]
-        self.decoder_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="decoder_norm")
         self.decoder_pred = nn.Dense(cfg.patch_dim, dtype=self.dtype, name="decoder_pred")
 
     def forward_encoder(

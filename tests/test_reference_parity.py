@@ -1,0 +1,235 @@
+"""End-to-end numerical parity vs the reference PyTorch models run in-process.
+
+The real pretrained checkpoints are not present in this image
+(/root/reference/weights/ is empty), so the strongest available oracle is the
+reference *model code itself*: instantiate the torch modules with seeded
+random weights, push their state dicts through s2tpu.checkpoint.convert_torch,
+and require the Flax models to reproduce the torch outputs — including the
+BASELINE.md north-star check that argmax class maps match exactly.
+
+These tests exercise the identical code path a real Prithvi_100M.pt /
+trained reference checkpoint would take (same file format, same naming, same
+surgery); only the weight values differ.
+
+Reference quirk found while building this (documented, NOT replicated):
+``random_masking`` shuffles tokens even at mask_ratio=0.0
+(prithvi.py:258-283), and PrithviSegmentationNet consumes the encoder tokens
+without unshuffling (prithvi_segmentation.py:156-162) — the reference seg
+head sees randomly permuted spatial tokens. The MAE ``pred`` is unaffected
+(the decoder unshuffles via ids_restore), so MAE comparisons are exact; for
+encoder-token comparisons we unshuffle the reference output with its
+returned ids_restore.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests.reference_loader import load_reference_modules  # noqa: E402
+
+from s2tpu.checkpoint.convert_torch import (  # noqa: E402
+    convert_prithvi_state_dict,
+    convert_reference_unet_state_dict,
+    load_prithvi_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference_modules()
+
+
+@pytest.fixture(autouse=True)
+def _exact_matmuls():
+    # Default CPU matmul precision is lowered; parity needs exact f32 ops.
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-UNet: full model, logits + bit-for-bit argmax
+# ---------------------------------------------------------------------------
+def test_unet_b0_full_model_parity(ref):
+    eu = ref["efficientnet_unet"]
+    torch.manual_seed(0)
+    dist = [0.1, 0.2, 0.3, 0.4]
+    tmodel = eu.EfficientnetUnet(
+        eu.EfficientNetConfig(version="b0", num_classes=4, in_channels=6, class_distribution=dist)
+    )
+    tmodel.eval()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 224, 224, 6)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+
+    from s2tpu.models.efficientnet_unet import EfficientNetUNet, EfficientNetUNetConfig
+
+    model = EfficientNetUNet(
+        EfficientNetUNetConfig(version="b0", in_channels=6, num_classes=4, class_distribution=dist)
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 6)), train=False)
+    params, stats = convert_reference_unet_state_dict(tmodel.state_dict())
+    from s2tpu.checkpoint.convert_torch import _merge_into
+
+    params = _merge_into(variables["params"], params)
+    stats = _merge_into(variables["batch_stats"], stats)
+    j_logits = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)
+    )
+
+    assert j_logits.shape == t_logits.shape
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-3, atol=2e-4)
+    # North star: bit-for-bit class maps (BASELINE.md output-parity row).
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
+
+
+def test_unet_conversion_covers_all_reference_weights(ref):
+    """Every reference tensor must land in the converted tree (nothing
+    silently dropped) except num_batches_tracked counters and the unused
+    ImageNet fc head."""
+    eu = ref["efficientnet_unet"]
+    torch.manual_seed(1)
+    tmodel = eu.EfficientnetUnet(
+        eu.EfficientNetConfig(version="b1", num_classes=3, in_channels=6, class_distribution=[0.3, 0.3, 0.4])
+    )
+    sd = tmodel.state_dict()
+    params, stats = convert_reference_unet_state_dict(sd)
+
+    def count_leaves(tree) -> int:
+        return len(jax.tree_util.tree_leaves(tree))
+
+    expected = len(
+        [
+            k
+            for k in sd
+            if "num_batches_tracked" not in k
+            and "running_" not in k
+            and not k.startswith("encoder.fc.")
+        ]
+    )
+    running = len([k for k in sd if "running_" in k])
+    assert count_leaves(params) == expected
+    assert count_leaves(stats) == running
+
+
+# ---------------------------------------------------------------------------
+# Prithvi MAE: full forward (pred) parity at mask_ratio=0 (deterministic)
+# ---------------------------------------------------------------------------
+def _tiny_args():
+    return dict(
+        img_size=32,
+        patch_size=16,
+        num_frames=1,
+        tubelet_size=1,
+        in_chans=6,
+        embed_dim=64,
+        depth=2,
+        num_heads=4,
+        decoder_embed_dim=32,
+        decoder_depth=2,
+        decoder_num_heads=4,
+    )
+
+
+def test_prithvi_mae_pred_parity(ref):
+    pr = ref["prithvi"]
+    args = _tiny_args()
+    torch.manual_seed(0)
+    tmodel = pr.MaskedAutoencoderViT(**args)
+    tmodel.eval()
+
+    from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE
+
+    cfg = PrithviConfig.from_model_args(args)
+    model = PrithviMAE(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, args["num_frames"], args["img_size"], args["img_size"], args["in_chans"])).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        _, t_pred, t_mask = tmodel(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), mask_ratio=0.0)
+
+    variables = model.init({"params": jax.random.key(0)}, jnp.asarray(x), mask_ratio=0.0)
+    params = _merge(variables["params"], convert_prithvi_state_dict(tmodel.state_dict()))
+    _, j_pred, j_mask = model.apply({"params": params}, jnp.asarray(x), mask_ratio=0.0)
+
+    assert np.asarray(j_mask).sum() == 0 and t_mask.numpy().sum() == 0
+    np.testing.assert_allclose(np.asarray(j_pred), t_pred.numpy(), rtol=1e-3, atol=2e-5)
+
+
+def _merge(template, converted):
+    from s2tpu.checkpoint.convert_torch import _merge_into
+
+    return _merge_into(template, converted)
+
+
+def test_prithvi_pos_embed_matches_reference(ref):
+    pr = ref["prithvi"]
+    ours_mod = __import__("s2tpu.models.prithvi_mae", fromlist=["sincos_3d"])
+    for grid in [(1, 14, 14), (3, 14, 14), (1, 2, 2)]:
+        theirs = pr.get_3d_sincos_pos_embed(768, grid, cls_token=True)
+        ours = ours_mod.sincos_3d(768, grid, cls_token=True)
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-surgery parity: the exact load path Prithvi_100M.pt would take
+# ---------------------------------------------------------------------------
+def test_prithvi_checkpoint_surgery_parity(ref, tmp_path, monkeypatch):
+    """Write a .pt with the real Prithvi_100M architecture (random values,
+    num_frames=3 like the published checkpoint), load it through BOTH the
+    reference's load_prithvi surgery (num_frames=1, decoder dropped,
+    pos-embed regenerated) and s2tpu's converter, and require identical
+    encoder tokens. Same format, same path — only the values are synthetic
+    (the real file is absent from this image)."""
+    pr = ref["prithvi"]
+    import importlib
+
+    utils = importlib.import_module("utils")
+
+    from s2tpu.utils import load_prithvi_model_args
+
+    args = load_prithvi_model_args()
+    torch.manual_seed(0)
+    full = pr.MaskedAutoencoderViT(**{**args, "num_frames": 3})
+    ckpt_path = tmp_path / "Prithvi_100M.pt"
+    torch.save(full.state_dict(), ckpt_path)
+
+    monkeypatch.setattr(utils, "PRITHVI_WEIGHTS", ckpt_path, raising=True)
+    tmodel = utils.load_prithvi(num_frames=1, no_decoder=True)
+    tmodel.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 1, 224, 224, 6)).astype(np.float32)
+    with torch.no_grad():
+        t_tokens, _, ids_restore = tmodel.forward_encoder(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), mask_ratio=0.0
+        )
+    t_tokens = t_tokens.numpy()
+    # Reference quirk: ratio=0 still shuffles tokens — unshuffle for comparison.
+    restore = ids_restore.numpy()[0]
+    t_patches = t_tokens[:, 1:][:, restore]
+
+    from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE
+
+    cfg = PrithviConfig.from_model_args(args, num_frames=1)
+    model = PrithviMAE(cfg)
+    variables = model.init({"params": jax.random.key(0)}, jnp.asarray(x), mask_ratio=0.0)
+    params = load_prithvi_weights(
+        variables["params"], num_frames=1, path=ckpt_path, include_decoder=False
+    )
+
+    def encode(p, imgs):
+        return model.apply({"params": p}, imgs, method=lambda m, i: m.forward_encoder(i, 0.0))
+
+    j_tokens, _, _ = encode(params, jnp.asarray(x))
+    j_tokens = np.asarray(j_tokens)
+
+    np.testing.assert_allclose(j_tokens[:, :1], t_tokens[:, :1], rtol=1e-3, atol=3e-5)  # cls
+    np.testing.assert_allclose(j_tokens[:, 1:], t_patches, rtol=1e-3, atol=3e-5)
