@@ -139,6 +139,13 @@ def _conv_hwio(sd: dict, key: str) -> np.ndarray:
     return _to_numpy(sd[key]).transpose(2, 3, 1, 0)  # (O,I,kh,kw) -> (kh,kw,I,O)
 
 
+def _conv1x1_to_dense(sd: dict, key: str) -> np.ndarray:
+    """torch 1x1 Conv2d (O, I, 1, 1) -> Dense kernel (I, O): s2tpu models
+    express 1x1 convs as channel dots (efficientnet_unet.py MBConv)."""
+    w = _to_numpy(sd[key])
+    return w[:, :, 0, 0].T
+
+
 def _bn(sd: dict, prefix: str) -> tuple[dict, dict]:
     return (
         {"scale": _to_numpy(sd[f"{prefix}.weight"]), "bias": _to_numpy(sd[f"{prefix}.bias"])},
@@ -169,24 +176,24 @@ def convert_efficientnet_state_dict(
         s: dict[str, typing.Any] = {}
         pre = f"_blocks.{i}"
         if f"{pre}._expand_conv.weight" in sd:
-            p["expand_conv"] = {"kernel": _conv_hwio(sd, f"{pre}._expand_conv.weight")}
+            p["expand_conv"] = {"kernel": _conv1x1_to_dense(sd, f"{pre}._expand_conv.weight")}
             p["expand_bn"], s["expand_bn"] = _bn(sd, f"{pre}._bn0")
         p["depthwise_conv"] = {"kernel": _conv_hwio(sd, f"{pre}._depthwise_conv.weight")}
         p["depthwise_bn"], s["depthwise_bn"] = _bn(sd, f"{pre}._bn1")
         if f"{pre}._se_reduce.weight" in sd:
             p["se_reduce"] = {
-                "kernel": _conv_hwio(sd, f"{pre}._se_reduce.weight"),
+                "kernel": _conv1x1_to_dense(sd, f"{pre}._se_reduce.weight"),
                 "bias": _to_numpy(sd[f"{pre}._se_reduce.bias"]),
             }
             p["se_expand"] = {
-                "kernel": _conv_hwio(sd, f"{pre}._se_expand.weight"),
+                "kernel": _conv1x1_to_dense(sd, f"{pre}._se_expand.weight"),
                 "bias": _to_numpy(sd[f"{pre}._se_expand.bias"]),
             }
-        p["project_conv"] = {"kernel": _conv_hwio(sd, f"{pre}._project_conv.weight")}
+        p["project_conv"] = {"kernel": _conv1x1_to_dense(sd, f"{pre}._project_conv.weight")}
         p["project_bn"], s["project_bn"] = _bn(sd, f"{pre}._bn2")
         params[f"block_{i}"] = p
         stats[f"block_{i}"] = s
-    params["head_conv"] = {"kernel": _conv_hwio(sd, "_conv_head.weight")}
+    params["head_conv"] = {"kernel": _conv1x1_to_dense(sd, "_conv_head.weight")}
     params["head_bn"], stats["head_bn"] = _bn(sd, "_bn1")
     return params, stats
 
@@ -235,7 +242,7 @@ def convert_reference_unet_state_dict(state_dict: dict) -> tuple[dict, dict]:
         p: dict[str, typing.Any] = {}
         s: dict[str, typing.Any] = {}
         if f"{pre}.stem.3.weight" in sd:  # expand_ratio != 1
-            p["expand_conv"] = {"kernel": _conv_hwio(sd, f"{pre}.stem.0.weight")}
+            p["expand_conv"] = {"kernel": _conv1x1_to_dense(sd, f"{pre}.stem.0.weight")}
             p["expand_bn"], s["expand_bn"] = _bn(sd, f"{pre}.stem.1")
             p["depthwise_conv"] = {"kernel": _conv_hwio(sd, f"{pre}.stem.3.weight")}
             p["depthwise_bn"], s["depthwise_bn"] = _bn(sd, f"{pre}.stem.4")
@@ -243,12 +250,18 @@ def convert_reference_unet_state_dict(state_dict: dict) -> tuple[dict, dict]:
             p["depthwise_conv"] = {"kernel": _conv_hwio(sd, f"{pre}.stem.0.weight")}
             p["depthwise_bn"], s["depthwise_bn"] = _bn(sd, f"{pre}.stem.1")
         if f"{pre}.squeeze_excitation.1.weight" in sd:
-            p["se_reduce"] = _conv_with_bias(sd, f"{pre}.squeeze_excitation.1")
-            p["se_expand"] = _conv_with_bias(sd, f"{pre}.squeeze_excitation.3")
-        p["project_conv"] = {"kernel": _conv_hwio(sd, f"{pre}.final_layer.0.weight")}
+            p["se_reduce"] = {
+                "kernel": _conv1x1_to_dense(sd, f"{pre}.squeeze_excitation.1.weight"),
+                "bias": _to_numpy(sd[f"{pre}.squeeze_excitation.1.bias"]),
+            }
+            p["se_expand"] = {
+                "kernel": _conv1x1_to_dense(sd, f"{pre}.squeeze_excitation.3.weight"),
+                "bias": _to_numpy(sd[f"{pre}.squeeze_excitation.3.bias"]),
+            }
+        p["project_conv"] = {"kernel": _conv1x1_to_dense(sd, f"{pre}.final_layer.0.weight")}
         p["project_bn"], s["project_bn"] = _bn(sd, f"{pre}.final_layer.1")
         enc_p[f"block_{i}"], enc_s[f"block_{i}"] = p, s
-    enc_p["head_conv"] = {"kernel": _conv_hwio(sd, "encoder.conv_head.0.weight")}
+    enc_p["head_conv"] = {"kernel": _conv1x1_to_dense(sd, "encoder.conv_head.0.weight")}
     enc_p["head_bn"], enc_s["head_bn"] = _bn(sd, "encoder.conv_head.1")
 
     params: dict[str, typing.Any] = {"encoder": enc_p}
@@ -271,7 +284,10 @@ def convert_reference_unet_state_dict(state_dict: dict) -> tuple[dict, dict]:
     if "input_up_conv.weight" in sd:
         params["input_up_conv"] = _convtrans_hwio(sd, "input_up_conv")
         params["input_double_conv"], stats["input_double_conv"] = double_conv("input_double_conv")
-    params["classifier"] = _conv_with_bias(sd, "out_conv1x1")
+    params["classifier"] = {
+        "kernel": _conv1x1_to_dense(sd, "out_conv1x1.weight"),
+        "bias": _to_numpy(sd["out_conv1x1.bias"]),
+    }
     return params, stats
 
 

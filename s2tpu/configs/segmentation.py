@@ -59,6 +59,11 @@ class DatamoduleConfig:
     random_horizontal_flip_p: float = 0.5
     random_vertical_flip_p: float = 0.5
     random_crop_size: int = 224
+    # Apply the random H/V flips on the host during the crop gather (free:
+    # a reversed memcpy in the C++ gather / a numpy view, overlapped with
+    # device compute) instead of as select/reverse ops inside the XLA step.
+    # Ignored (flips stay on device) when train.device_corpus is set.
+    host_flips: bool = True
     class_distribution: list[float] | None = None  # enables weighted sampling
     prefetch: int = 2  # host->device prefetch depth
     shuffle_seed: int = 0

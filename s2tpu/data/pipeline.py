@@ -107,16 +107,25 @@ class Datamodule:
         s = self.source[0]
         return s.x.shape[-3], s.x.shape[-2]
 
-    def _gather_crops(self, indices: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> HostBatch:
+    def _gather_crops(
+        self,
+        indices: np.ndarray,
+        ys: np.ndarray,
+        xs: np.ndarray,
+        flip_h: np.ndarray | None = None,
+        flip_v: np.ndarray | None = None,
+    ) -> HostBatch:
         crop = self.cfg.random_crop_size
         n = len(indices)
         # Packed sources take the native multithreaded gather (C++ memcpy
-        # rows straight out of the memmap; s2tpu/native/gather.cc).
+        # rows straight out of the memmap, flips applied during the copy;
+        # s2tpu/native/gather.cc).
         if isinstance(self.source, PackedSource):
             from s2tpu import native
 
             gathered = native.gather_crops(
-                self.source.images, self.source.labels, np.asarray(indices), ys, xs, crop
+                self.source.images, self.source.labels, np.asarray(indices), ys, xs, crop,
+                flip_h=flip_h, flip_v=flip_v,
             )
             if gathered is not None:
                 images, labels = gathered
@@ -129,8 +138,14 @@ class Datamodule:
         labels = np.empty((n, crop, crop), dtype=np.int32)
         for k, (i, y0, x0) in enumerate(zip(indices, ys, xs)):
             s = self.source[int(i)]
-            images[k] = s.x[..., y0 : y0 + crop, x0 : x0 + crop, :]
-            labels[k] = s.y[y0 : y0 + crop, x0 : x0 + crop]
+            img = s.x[..., y0 : y0 + crop, x0 : x0 + crop, :]
+            lbl = s.y[y0 : y0 + crop, x0 : x0 + crop]
+            if flip_h is not None and flip_h[k]:
+                img, lbl = img[..., :, ::-1, :], lbl[:, ::-1]
+            if flip_v is not None and flip_v[k]:
+                img, lbl = img[..., ::-1, :, :], lbl[::-1, :]
+            images[k] = img
+            labels[k] = lbl
         return HostBatch(images, labels, np.ones(n, dtype=bool))
 
     def train_batches(self, epoch: int, overfit_batches: int = 0) -> typing.Iterator[HostBatch]:
@@ -141,17 +156,22 @@ class Datamodule:
             rng, self.train_idx, self._sample_weights, bs, overfit_batches
         )
         hw = self._sample_hw()
+        do_host_flips = self.cfg.host_flips and self.cfg.augment and overfit_batches == 0
         for b in range(n_batches):
             idx = order[b * bs : (b + 1) * bs]
+            flip_h = flip_v = None
             if self.cfg.augment and overfit_batches == 0:
                 ys = rng.integers(0, hw[0] - self.cfg.random_crop_size + 1, size=bs)
                 xs = rng.integers(0, hw[1] - self.cfg.random_crop_size + 1, size=bs)
+                if do_host_flips:
+                    flip_h = rng.random(bs) < self.cfg.random_horizontal_flip_p
+                    flip_v = rng.random(bs) < self.cfg.random_vertical_flip_p
             else:
                 y0 = (hw[0] - self.cfg.random_crop_size) // 2
                 x0 = (hw[1] - self.cfg.random_crop_size) // 2
                 ys = np.full(bs, y0)
                 xs = np.full(bs, x0)
-            yield self._gather_crops(idx, ys, xs)
+            yield self._gather_crops(idx, ys, xs, flip_h=flip_h, flip_v=flip_v)
 
     def eval_batches(self, split: str = "val") -> typing.Iterator[HostBatch]:
         """Center-cropped eval batches, padded to a static batch size."""

@@ -111,6 +111,14 @@ class EfficientNetUNetConfig:
     width_coefficient: float | None = None
     depth_coefficient: float | None = None
     concat_input: bool = True
+    # Run the full-resolution input-concat stage in a space-to-depth packed
+    # layout (112^2 x 4C instead of 224^2 x C): with <=38 channels the
+    # channels-last tensors pad to 128 TPU lanes, wasting ~4x memory
+    # bandwidth and MXU output columns — the stage measured ~30% of the B5
+    # train step (PERF_NOTES r2 profile). Identical parameters and math
+    # (same tree, same shapes); packed kernels are built from the dense ones
+    # at trace time. Disable for exact op-order parity with the reference.
+    packed_input_stage: bool = True
 
     def __post_init__(self) -> None:
         if self.version not in SCALING:
@@ -194,8 +202,12 @@ class MBConv(nn.Module):
         )
         identity = x
         mid = s.in_filters * s.expand_ratio
+        # 1x1 "convs" are channel dots (nn.Dense over the last axis): the
+        # same math, but gradients lower to plain matmuls — XLA's conv
+        # filter-grad path picks pathological layouts for some 1x1 shapes
+        # (measured 4.9x slower fwd+bwd at 112^2 24->144; scripts/bench_1x1.py).
         if s.expand_ratio != 1:
-            x = nn.Conv(mid, (1, 1), use_bias=False, kernel_init=conv_init, dtype=self.dtype, name="expand_conv")(x)
+            x = nn.Dense(mid, use_bias=False, kernel_init=conv_init, dtype=self.dtype, name="expand_conv")(x)
             x = nn.silu(bn("expand_bn")(x))
         x = DepthwiseConv(
             kernel_size=s.kernel_size, stride=s.stride, dtype=self.dtype, name="depthwise_conv"
@@ -204,12 +216,12 @@ class MBConv(nn.Module):
         if 0 < s.se_ratio <= 1:
             squeezed = max(1, int(s.in_filters * s.se_ratio))
             se = jnp.mean(x, axis=(1, 2), keepdims=True)
-            se = nn.Conv(squeezed, (1, 1), kernel_init=conv_init, dtype=self.dtype, name="se_reduce")(se)
+            se = nn.Dense(squeezed, kernel_init=conv_init, dtype=self.dtype, name="se_reduce")(se)
             se = nn.silu(se)
-            se = nn.Conv(mid, (1, 1), kernel_init=conv_init, dtype=self.dtype, name="se_expand")(se)
+            se = nn.Dense(mid, kernel_init=conv_init, dtype=self.dtype, name="se_expand")(se)
             x = x * nn.sigmoid(se)
-        x = nn.Conv(
-            s.out_filters, (1, 1), use_bias=False, kernel_init=conv_init, dtype=self.dtype, name="project_conv"
+        x = nn.Dense(
+            s.out_filters, use_bias=False, kernel_init=conv_init, dtype=self.dtype, name="project_conv"
         )(x)
         x = bn("project_bn")(x)
         if s.skip and s.stride == 1 and s.in_filters == s.out_filters:
@@ -284,8 +296,8 @@ class EfficientNetEncoder(nn.Module):
             )
             for i, s in enumerate(self._specs)
         ]
-        self.head_conv = nn.Conv(
-            self.head_filters, (1, 1), use_bias=False, kernel_init=conv_init, dtype=self.dtype, name="head_conv"
+        self.head_conv = nn.Dense(
+            self.head_filters, use_bias=False, kernel_init=conv_init, dtype=self.dtype, name="head_conv"
         )
         self.head_bn = nn.BatchNorm(
             momentum=cfg.bn_momentum, epsilon=cfg.bn_epsilon, dtype=self.dtype, name="head_bn"
@@ -332,6 +344,116 @@ class DoubleConv(nn.Module):
         return x
 
 
+def _pack_s2d(x: jax.Array) -> jax.Array:
+    """(B, 2H, 2W, C) -> (B, H, W, 4, C): space-to-depth with phase index
+    a*2+b for output pixel (2i+a, 2j+b)."""
+    b, h2, w2, c = x.shape
+    h, w = h2 // 2, w2 // 2
+    return x.reshape(b, h, 2, w, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, 4, c)
+
+
+def _unpack_s2d(x: jax.Array) -> jax.Array:
+    """(B, H, W, 4, C) -> (B, 2H, 2W, C) — inverse of _pack_s2d."""
+    b, h, w, _, c = x.shape
+    return x.reshape(b, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def _packed_conv3x3_kernel(w: jax.Array) -> jax.Array:
+    """Dense 3x3 kernel (3, 3, Cin, Cout) -> packed kernel (3, 3, 4Cin, 4Cout)
+    computing the same stride-1 SAME conv in the space-to-depth layout.
+
+    Output phase (a, b) at packed (i, j) is 224-pixel (2i+a, 2j+b); its 3x3
+    window spans packed rows i-1..i+1 with phase-dependent taps:
+    dy = 2*dY + alpha - a must lie in {-1, 0, 1} for a contribution from
+    input phase alpha at packed row offset dY (zero otherwise). SAME padding
+    in packed space reproduces SAME padding in pixel space exactly (padded
+    packed rows carry both phases of out-of-image pixel rows).
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for alpha in range(2):
+                for beta in range(2):
+                    for dY in (-1, 0, 1):
+                        dy = 2 * dY + alpha - a
+                        if dy not in (-1, 0, 1):
+                            continue
+                        for dX in (-1, 0, 1):
+                            dx = 2 * dX + beta - b
+                            if dx not in (-1, 0, 1):
+                                continue
+                            pi, po = alpha * 2 + beta, a * 2 + b
+                            k = k.at[
+                                dY + 1, dX + 1, pi * cin : (pi + 1) * cin, po * cout : (po + 1) * cout
+                            ].set(w[dy + 1, dx + 1])
+    return k
+
+
+class _ConvTransposeParams(nn.Module):
+    """Parameter holder matching nn.ConvTranspose's tree (kernel + bias)."""
+
+    features: int
+    in_features: int
+    ksize: tuple[int, int] = (2, 2)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_init, (*self.ksize, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree (kernel + bias)."""
+
+    features: int
+    in_features: int
+    ksize: tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_init, (*self.ksize, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class PackedDoubleConv(nn.Module):
+    """DoubleConv evaluated in the space-to-depth layout.
+
+    Parameter/stats tree is identical to DoubleConv (conv0/bn0/conv1/bn1 with
+    dense (3, 3, Cin, C) kernels); the packed 4Cin->4C kernels are built from
+    them at trace time. BatchNorm runs on the (B, H, W, 4, C) tensor, so its
+    statistics reduce over (B, H, W, phase) — exactly the (B, 2H, 2W) pixel
+    population of the dense layout — with (C,) params/stats as usual.
+    """
+
+    features: int
+    in_features: int
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        # x: (B, H, W, 4, Cin) -> (B, H, W, 4, features)
+        b, h, w, _, _ = x.shape
+        cin = self.in_features
+        for i in range(2):
+            kernel, bias = _ConvParams(self.features, cin, name=f"conv{i}")()
+            packed = _packed_conv3x3_kernel(kernel.astype(self.dtype))
+            y = jax.lax.conv_general_dilated(
+                x.reshape(b, h, w, 4 * cin).astype(self.dtype),
+                packed,
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y.reshape(b, h, w, 4, self.features) + bias.astype(self.dtype)
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"bn{i}")(y)
+            x = nn.relu(y)
+            cin = self.features
+        return x
+
+
 class EfficientNetUNet(nn.Module):
     """U-Net over the EfficientNet encoder: per-pixel K-class logits at input res."""
 
@@ -352,6 +474,32 @@ class EfficientNetUNet(nn.Module):
             )(y)
             y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
             y = DoubleConv(feats, dtype=self.dtype, name=f"double_conv{i}")(y, train=train)
+        classifier = nn.Dense(
+            cfg.num_classes,
+            kernel_init=conv_init,
+            bias_init=class_prior_bias_init(cfg.class_distribution),
+            dtype=jnp.float32,
+            name="classifier",
+        )
+        if cfg.concat_input and cfg.packed_input_stage:
+            # Space-to-depth full-resolution stage: same parameters, packed
+            # 112^2 x 4C layout (channels fill the 128 lanes). See
+            # EfficientNetUNetConfig.packed_input_stage.
+            up_k, up_b = _ConvTransposeParams(32, y.shape[-1], name="input_up_conv")()
+            # flax ConvTranspose(k2 s2): out[2i+a, 2j+b, o] =
+            #   sum_c in[i, j, c] * kernel[1-a, 1-b, c, o] (+ bias)
+            y4 = jnp.einsum(
+                "bhwc,xyco->bhwxyo", y, up_k[::-1, ::-1].astype(y.dtype),
+            )
+            bsz, hp, wp = y4.shape[:3]
+            y4 = y4.reshape(bsz, hp, wp, 4, 32) + up_b.astype(y.dtype)
+            img4 = _pack_s2d(identity).astype(y.dtype)
+            y4 = jnp.concatenate([y4, img4], axis=-1)  # (B, H, W, 4, 32+in_ch)
+            y4 = PackedDoubleConv(
+                32, 32 + cfg.in_channels, dtype=self.dtype, name="input_double_conv"
+            )(y4, train=train)
+            logits4 = classifier(y4.astype(jnp.float32))
+            return _unpack_s2d(logits4)
         if cfg.concat_input:
             y = nn.ConvTranspose(
                 32, (2, 2), strides=(2, 2), kernel_init=conv_init, dtype=self.dtype, name="input_up_conv"
@@ -359,12 +507,4 @@ class EfficientNetUNet(nn.Module):
             y = jnp.concatenate([y, identity.astype(y.dtype)], axis=-1)
             y = DoubleConv(32, dtype=self.dtype, name="input_double_conv")(y, train=train)
         # Classifier in f32: logits feed the loss, keep them full precision.
-        y = nn.Conv(
-            cfg.num_classes,
-            (1, 1),
-            kernel_init=conv_init,
-            bias_init=class_prior_bias_init(cfg.class_distribution),
-            dtype=jnp.float32,
-            name="classifier",
-        )(y.astype(jnp.float32))
-        return y
+        return classifier(y.astype(jnp.float32))

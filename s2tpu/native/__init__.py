@@ -66,6 +66,16 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int64,
         ]
         lib.gather_crops_i16_u8.restype = None
+        lib.gather_crops_flips_i16_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.gather_crops_flips_i16_u8.restype = None
         _lib = lib
     except OSError as e:
         logger.warning(f"native load failed ({e}); using numpy fallback")
@@ -80,8 +90,12 @@ def gather_crops(
     xs: np.ndarray,
     crop: int,
     num_threads: int = 0,
+    flip_h: np.ndarray | None = None,
+    flip_v: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
-    """Native (B,crop,crop,C) int16 + (B,crop,crop) int32 batch gather.
+    """Native (B,crop,crop,C) int16 + (B,crop,crop) int32 batch gather,
+    with optional per-sample H/V flips applied during the copy (host-side
+    augmentation — removes the flip ops from the device step program).
 
     Returns None when preconditions fail (caller falls back to numpy):
     requires contiguous int16 (N,H,W,C) images and uint8 (N,H,W) labels.
@@ -105,10 +119,14 @@ def gather_crops(
     xs64 = np.ascontiguousarray(xs, np.int64)
     if num_threads <= 0:
         num_threads = min(8, os.cpu_count() or 1)
-    lib.gather_crops_i16_u8(
+    fh = None if flip_h is None else np.ascontiguousarray(flip_h, np.uint8)
+    fv = None if flip_v is None else np.ascontiguousarray(flip_v, np.uint8)
+    lib.gather_crops_flips_i16_u8(
         images.ctypes.data, labels.ctypes.data,
         h, w, c,
         idx.ctypes.data, ys64.ctypes.data, xs64.ctypes.data,
+        None if fh is None else fh.ctypes.data,
+        None if fv is None else fv.ctypes.data,
         b, crop,
         out.ctypes.data, lout.ctypes.data,
         num_threads,

@@ -20,10 +20,15 @@ extern "C" {
 
 // images: (n, h, w, c) int16 contiguous; out: (b, crop, crop, c)
 // labels: (n, h, w) uint8 contiguous;    lout: (b, crop, crop) int32
-void gather_crops_i16_u8(
+// flip_h / flip_v: optional (b,) 0/1 flags (NULL = no flips). Vertical flips
+// are free (rows read bottom-up, still row memcpy); horizontal flips copy
+// pixel-by-pixel reversed — host-side augmentation overlapped with device
+// compute, removing the flip select/reverse ops from the XLA step program.
+void gather_crops_flips_i16_u8(
     const int16_t* images, const uint8_t* labels,
     int64_t h, int64_t w, int64_t c,
     const int64_t* indices, const int64_t* ys, const int64_t* xs,
+    const uint8_t* flip_h, const uint8_t* flip_v,
     int64_t b, int64_t crop,
     int16_t* out, int32_t* lout,
     int64_t num_threads) {
@@ -36,17 +41,31 @@ void gather_crops_i16_u8(
       const int64_t idx = indices[k];
       const int64_t y0 = ys[k];
       const int64_t x0 = xs[k];
+      const bool fh = flip_h != nullptr && flip_h[k] != 0;
+      const bool fv = flip_v != nullptr && flip_v[k] != 0;
       const int16_t* src = images + idx * img_stride + (y0 * w + x0) * c;
       int16_t* dst = out + k * crop * row_elems;
       for (int64_t r = 0; r < crop; ++r) {
-        std::memcpy(dst + r * row_elems, src + r * w * c, row_elems * sizeof(int16_t));
+        const int16_t* srow = src + (fv ? (crop - 1 - r) : r) * w * c;
+        int16_t* drow = dst + r * row_elems;
+        if (!fh) {
+          std::memcpy(drow, srow, row_elems * sizeof(int16_t));
+        } else {
+          for (int64_t col = 0; col < crop; ++col) {
+            std::memcpy(drow + col * c, srow + (crop - 1 - col) * c, c * sizeof(int16_t));
+          }
+        }
       }
       const uint8_t* lsrc = labels + idx * lbl_stride + y0 * w + x0;
       int32_t* ldst = lout + k * crop * crop;
       for (int64_t r = 0; r < crop; ++r) {
-        const uint8_t* lrow = lsrc + r * w;
+        const uint8_t* lrow = lsrc + (fv ? (crop - 1 - r) : r) * w;
         int32_t* lorow = ldst + r * crop;
-        for (int64_t col = 0; col < crop; ++col) lorow[col] = lrow[col];
+        if (!fh) {
+          for (int64_t col = 0; col < crop; ++col) lorow[col] = lrow[col];
+        } else {
+          for (int64_t col = 0; col < crop; ++col) lorow[col] = lrow[crop - 1 - col];
+        }
       }
     }
   };
@@ -64,6 +83,18 @@ void gather_crops_i16_u8(
     if (s < e) threads.emplace_back(work, s, e);
   }
   for (auto& th : threads) th.join();
+}
+
+// Backwards-compatible entry without flips.
+void gather_crops_i16_u8(
+    const int16_t* images, const uint8_t* labels,
+    int64_t h, int64_t w, int64_t c,
+    const int64_t* indices, const int64_t* ys, const int64_t* xs,
+    int64_t b, int64_t crop,
+    int16_t* out, int32_t* lout,
+    int64_t num_threads) {
+  gather_crops_flips_i16_u8(images, labels, h, w, c, indices, ys, xs,
+                            nullptr, nullptr, b, crop, out, lout, num_threads);
 }
 
 }  // extern "C"

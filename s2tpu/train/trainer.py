@@ -202,6 +202,9 @@ class SegmentationTrainer:
         use_remat = cfg.train.remat
         # Watch reductions only enter the program when someone will read them.
         watch = self.run_logger is not None and cfg.train.watch_interval > 0
+        # Flips run on the host during the crop gather when host_flips is on;
+        # the device-corpus path has no host gather, so flips stay on device.
+        device_flips = dm_cfg.augment and (cfg.train.device_corpus or not dm_cfg.host_flips)
 
         def apply_train(params, batch_stats, x, drop_key):
             variables = {"params": params}
@@ -232,7 +235,7 @@ class SegmentationTrainer:
                 p_horizontal=dm_cfg.random_horizontal_flip_p,
                 p_vertical=dm_cfg.random_vertical_flip_p,
                 dtype=self.compute_dtype,
-                train=dm_cfg.augment,
+                train=device_flips,
             )
             x = self._model_input(x)
 

@@ -216,10 +216,11 @@ def test_efficientnet_conversion_structure():
     conv_params, conv_stats = ct.convert_efficientnet_state_dict(sd, num_blocks=len(specs))
     params = ct._merge_into(variables["params"], conv_params)
     stats = ct._merge_into(variables["batch_stats"], conv_stats)
-    # converted head conv kernel actually landed (not left at init)
+    # converted head kernel actually landed (not left at init); 1x1 convs
+    # are Dense channel dots in the model, so the kernel is (I, O)
     np.testing.assert_allclose(
         np.asarray(params["head_conv"]["kernel"]),
-        sd["_conv_head.weight"].numpy().transpose(2, 3, 1, 0),
+        sd["_conv_head.weight"].numpy()[:, :, 0, 0].T,
     )
     # converted network still runs
     y = jax.jit(lambda v, x: enc.apply(v, x, train=False))(

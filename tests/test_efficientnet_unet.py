@@ -139,3 +139,39 @@ def test_bf16_compute_dtype(unet_vars):
     assert variables["params"]["encoder"]["stem_conv"]["kernel"].dtype == jnp.float32
     assert y.dtype == jnp.float32
     assert y.shape == (2, 64, 64, 4)
+
+
+def test_packed_input_stage_matches_dense():
+    """Space-to-depth full-res stage == plain stage: same param/stats trees,
+    same outputs (train + eval), same BN statistics."""
+    import dataclasses
+
+    import jax.tree_util as jtu
+
+    from s2tpu.models.efficientnet_unet import EfficientNetUNet, EfficientNetUNetConfig
+
+    cfg_p = EfficientNetUNetConfig(version="b0", in_channels=6, num_classes=4, packed_input_stage=True)
+    cfg_d = dataclasses.replace(cfg_p, packed_input_stage=False)
+    mp, md = EfficientNetUNet(cfg_p), EfficientNetUNet(cfg_d)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 6)).astype(np.float32))
+    vp = jax.jit(lambda: mp.init(jax.random.key(0), jnp.zeros((1, 64, 64, 6)), train=False))()
+    vd = jax.jit(lambda: md.init(jax.random.key(0), jnp.zeros((1, 64, 64, 6)), train=False))()
+    pa, pb = jtu.tree_leaves_with_path(vp["params"]), jtu.tree_leaves_with_path(vd["params"])
+    assert [jtu.keystr(k) for k, _ in pa] == [jtu.keystr(k) for k, _ in pb]
+    for (k, a), (_, b) in zip(pa, pb):
+        assert a.shape == b.shape, jtu.keystr(k)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=jtu.keystr(k))
+    with jax.default_matmul_precision("highest"):
+        yp = jax.jit(lambda v, x: mp.apply(v, x, train=False))(vp, x)
+        yd = jax.jit(lambda v, x: md.apply(v, x, train=False))(vd, x)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=2e-5)
+        fp = jax.jit(lambda v, x, k: mp.apply(v, x, train=True, mutable=["batch_stats"], rngs={"dropout": k}))
+        fd = jax.jit(lambda v, x, k: md.apply(v, x, train=True, mutable=["batch_stats"], rngs={"dropout": k}))
+        yp2, mutp = fp(vp, x, jax.random.key(1))
+        yd2, mutd = fd(vd, x, jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(yp2), np.asarray(yd2), atol=1e-4)
+        sa = jtu.tree_leaves_with_path(mutp["batch_stats"])
+        sb = jtu.tree_leaves_with_path(mutd["batch_stats"])
+        assert [jtu.keystr(k) for k, _ in sa] == [jtu.keystr(k) for k, _ in sb]
+        for (k, a), (_, b) in zip(sa, sb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=jtu.keystr(k))
