@@ -68,10 +68,28 @@ def sample_epoch_order(
 
 
 class Datamodule:
-    """Builds sources, splits, statistics, and batch iterators for one config."""
+    """Builds sources, splits, statistics, and batch iterators for one config.
 
-    def __init__(self, cfg: DatamoduleConfig, source: SegmentSource | None = None) -> None:
+    Under multi-host (DCN) training every process constructs the same
+    Datamodule (same seeds -> same epoch order, crops, flips) and feeds only
+    its ``process_index`` slice of each global batch; the trainer assembles
+    the global array (s2tpu.parallel.multihost). Pass process_count/index
+    explicitly for tests; they default to the jax runtime's values.
+    """
+
+    def __init__(
+        self,
+        cfg: DatamoduleConfig,
+        source: SegmentSource | None = None,
+        process_count: int | None = None,
+        process_index: int | None = None,
+    ) -> None:
         self.cfg = cfg
+        self.n_proc = process_count if process_count is not None else jax.process_count()
+        self.proc = process_index if process_index is not None else jax.process_index()
+        assert cfg.batch_size % self.n_proc == 0, (
+            f"global batch {cfg.batch_size} must divide process count {self.n_proc}"
+        )
         ds = cfg.dataset_cfg
         self.source = (
             source
@@ -171,7 +189,17 @@ class Datamodule:
                 x0 = (hw[1] - self.cfg.random_crop_size) // 2
                 ys = np.full(bs, y0)
                 xs = np.full(bs, x0)
+            if self.n_proc > 1:
+                # Same global draws on every process; gather only our shard.
+                sl = self._local_slice(bs)
+                idx, ys, xs = idx[sl], ys[sl], xs[sl]
+                flip_h = flip_h[sl] if flip_h is not None else None
+                flip_v = flip_v[sl] if flip_v is not None else None
             yield self._gather_crops(idx, ys, xs, flip_h=flip_h, flip_v=flip_v)
+
+    def _local_slice(self, global_bs: int) -> slice:
+        per = global_bs // self.n_proc
+        return slice(self.proc * per, (self.proc + 1) * per)
 
     def eval_batches(self, split: str = "val") -> typing.Iterator[HostBatch]:
         """Center-cropped eval batches, padded to a static batch size."""
@@ -182,6 +210,17 @@ class Datamodule:
         x0 = (hw[1] - self.cfg.random_crop_size) // 2
         for b in range(0, len(indices), bs):
             idx = indices[b : b + bs]
+            mask = np.ones(len(idx), dtype=bool)
+            if self.n_proc > 1:
+                # Pad to the global batch first so every process sees the
+                # same batch geometry, then gather only our shard.
+                pad_idx = np.concatenate([idx, np.zeros(bs - len(idx), idx.dtype)])
+                mask = np.concatenate([mask, np.zeros(bs - len(idx), bool)])
+                sl = self._local_slice(bs)
+                idx, mask = pad_idx[sl], mask[sl]
+                batch = self._gather_crops(idx, np.full(len(idx), y0), np.full(len(idx), x0))
+                yield HostBatch(batch.images, batch.labels, mask)
+                continue
             batch = self._gather_crops(idx, np.full(len(idx), y0), np.full(len(idx), x0))
             if len(idx) < bs:
                 pad = bs - len(idx)
@@ -209,9 +248,13 @@ def prefetch_to_device(
 
     def produce() -> None:
         try:
+            from s2tpu.parallel.multihost import put_batch
+
             for batch in iterator:
                 if sharding is not None:
-                    batch = HostBatch(*(jax.device_put(a, sharding) for a in batch))
+                    # put_batch assembles the global array from this
+                    # process's local shard under multi-host.
+                    batch = HostBatch(*(put_batch(np.asarray(a), sharding) for a in batch))
                 else:
                     batch = HostBatch(*(jax.device_put(a) for a in batch))
                 q.put(batch)

@@ -80,4 +80,12 @@ def shard_pytree(tree: typing.Any, shardings: typing.Any):
 
 
 def replicate_pytree(tree: typing.Any, mesh: Mesh):
-    return jax.device_put(tree, replicated(mesh))
+    sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        # device_put of host-local data onto a cross-process sharding is not
+        # allowed; assemble global replicated arrays from the (identical,
+        # same-seed) per-process values instead.
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree
+        )
+    return jax.device_put(tree, sharding)

@@ -123,6 +123,10 @@ class SegmentationTrainer:
         self._host_step = 0
         self.corpus = None
         if t.device_corpus:
+            assert jax.process_count() == 1, (
+                "device_corpus uploads the corpus to local HBM; use the host "
+                "pipeline (per-process input sharding) for multi-host training"
+            )
             from s2tpu.data.device_corpus import DeviceCorpus
 
             self.corpus = DeviceCorpus(datamodule.source)
@@ -459,6 +463,8 @@ class SegmentationTrainer:
         (train_segmentation.py:166-219): one random validation sample and
         sample 0 ("fixed prediction dynamics"), rendered via s2tpu.plotting.
         """
+        if jax.process_count() > 1:
+            return  # per-host image logging would mix local inputs with global params
         import matplotlib.pyplot as plt
 
         from s2tpu.configs.data_config import LABEL_MAPS

@@ -1,0 +1,67 @@
+"""Worker process for the 2-process CPU multihost simulation test.
+
+Usage: python tests/multihost_worker.py <coordinator_port> <process_id> <fixture_dir>
+
+Each process gets 4 virtual CPU devices (global mesh = 2 hosts x 4 = 8),
+builds the same Datamodule with its own process slice, and runs two train
+steps + one eval pass of EfficientNet-UNet-B0 over the global ('data',)
+mesh. Prints one JSON line with the losses so the parent can assert both
+processes agree (the model state is fully replicated, so they must).
+"""
+
+import json
+import os
+import sys
+
+port, pid, fixture_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from s2tpu.parallel import multihost  # noqa: E402
+
+multihost.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.local_devices()) == 4, jax.local_devices()
+assert jax.device_count() == 8, jax.device_count()
+
+import numpy as np  # noqa: E402
+
+from s2tpu.configs import segmentation as cfg_lib  # noqa: E402
+from s2tpu.data.pipeline import Datamodule  # noqa: E402
+from s2tpu.parallel import mesh as mesh_lib  # noqa: E402
+from s2tpu.train.trainer import SegmentationTrainer  # noqa: E402
+
+config = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+config.datamodule.dataset_cfg.data_dir = fixture_dir
+config.datamodule.batch_size = 8  # global; 4 per process, 1 per device
+config.datamodule.random_crop_size = 64
+config.datamodule.data_split = (0.5, 0.5, 0.0)
+config.train.compute_dtype = "float32"
+config.train.max_epochs = 1
+
+dm = Datamodule(config.datamodule)
+assert dm.n_proc == 2 and dm.proc == pid
+mesh = mesh_lib.make_mesh(-1)  # 8 global devices
+assert mesh.devices.size == 8
+
+trainer = SegmentationTrainer(config, dm, mesh=mesh)
+history = trainer.fit(epochs=1)
+rec = history[0]
+print(
+    "RESULT "
+    + json.dumps(
+        {
+            "pid": pid,
+            "train_loss": rec.get("train/loss"),
+            "val_loss": rec.get("val/loss"),
+            "val_iou": rec.get("val/iou"),
+        }
+    ),
+    flush=True,
+)
