@@ -91,6 +91,10 @@ class PrithviConfig:
     # Tensor parallelism: mesh axis name to shard attention heads / MLP
     # hidden over (requires an ambient mesh via jax.set_mesh). None = off.
     tp_axis: str | None = None
+    # Batch mesh axis carried through the TP constraints — omitting it made
+    # the partitioner reshard dp-sharded activations to match (SPMD
+    # "involuntary full rematerialization" warnings, VERDICT r1).
+    dp_axis: str | None = "data"
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -174,6 +178,7 @@ class Attention(nn.Module):
     dtype: typing.Any = jnp.float32
     impl: str = "xla"
     tp_axis: str | None = None
+    dp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -183,8 +188,10 @@ class Attention(nn.Module):
         q, k, v = jnp.split(qkv.reshape(b, l, 3, self.num_heads, head_dim), 3, axis=2)
         q, k, v = (t.squeeze(2) for t in (q, k, v))  # (B, L, H, Dh)
         if self.tp_axis:
-            # tensor parallelism: heads sharded over the model axis
-            q, k, v = (_constrain(t, (None, None, self.tp_axis, None)) for t in (q, k, v))
+            # tensor parallelism: heads sharded over the model axis, batch
+            # kept on the data axis (constraints must agree with the
+            # upstream dp sharding or the partitioner rematerializes)
+            q, k, v = (_constrain(t, (self.dp_axis, None, self.tp_axis, None)) for t in (q, k, v))
         if self.impl == "flash" and l >= 512:
             from s2tpu.ops.flash_attention import flash_attention
 
@@ -192,7 +199,7 @@ class Attention(nn.Module):
         else:
             out = jax.nn.dot_product_attention(q, k, v)
         if self.tp_axis:
-            out = _constrain(out, (None, None, self.tp_axis, None))
+            out = _constrain(out, (self.dp_axis, None, self.tp_axis, None))
         out = out.reshape(b, l, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -206,6 +213,7 @@ class Block(nn.Module):
     dtype: typing.Any = jnp.float32
     attention_impl: str = "xla"
     tp_axis: str | None = None
+    dp_axis: str | None = None
     ln_eps: float = 1e-5
 
     @nn.compact
@@ -213,13 +221,13 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
             self.dim, self.num_heads, dtype=self.dtype, impl=self.attention_impl,
-            tp_axis=self.tp_axis, name="attn",
+            tp_axis=self.tp_axis, dp_axis=self.dp_axis, name="attn",
         )(y)
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         if self.tp_axis:
             # tensor parallelism: MLP hidden dim sharded over the model axis
-            y = _constrain(y, (None, None, self.tp_axis))
+            y = _constrain(y, (self.dp_axis, None, self.tp_axis))
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
@@ -279,6 +287,7 @@ class PrithviMAE(nn.Module):
                 dtype=self.dtype,
                 attention_impl=cfg.attention_impl,
                 tp_axis=cfg.tp_axis,
+                dp_axis=cfg.dp_axis if cfg.tp_axis else None,
                 ln_eps=cfg.layer_norm_eps,
                 name=f"block_{i}",
             )
@@ -298,6 +307,7 @@ class PrithviMAE(nn.Module):
                 dtype=self.dtype,
                 attention_impl=cfg.attention_impl,
                 tp_axis=cfg.tp_axis,
+                dp_axis=cfg.dp_axis if cfg.tp_axis else None,
                 ln_eps=cfg.layer_norm_eps,
                 name=f"decoder_block_{i}",
             )

@@ -75,3 +75,33 @@ def test_tp_train_step_runs(rng, tmp_path):
         state, m = trainer.train_step(trainer.state, images, trainer.base_rng)
         assert np.isfinite(float(m["loss"]))
         assert int(state.step) == 1
+
+
+def test_tp_compile_has_no_remat_warnings(tmp_path):
+    """The TP train step must compile without '[SPMD] Involuntary full
+    rematerialization' (r1 regression: constraints omitted the data axis,
+    forcing the partitioner to replicate activations)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    script = r"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        env={"PYTHONPATH": str(repo), "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": str(tmp_path)},
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "rematerialization" not in proc.stderr, proc.stderr[-3000:]
