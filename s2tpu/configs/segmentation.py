@@ -94,6 +94,13 @@ class TrainConfig:
     # host sends only index/offset vectors (see s2tpu/data/device_corpus.py).
     device_corpus: bool = False
 
+    # Gradient accumulation: split each batch into N sequential microbatches
+    # (lax.scan inside the jit'd step) and apply one optimizer update on the
+    # averaged gradients. Effective batch stays datamodule.batch_size;
+    # activation memory drops to one microbatch. BN batch statistics are
+    # computed per microbatch (running stats updated sequentially).
+    grad_accum_steps: int = 1
+
     # trainer
     max_epochs: int = -1
     log_interval: int = 50

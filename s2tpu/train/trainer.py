@@ -227,9 +227,11 @@ class SegmentationTrainer:
         if use_remat:
             apply_train = jax.checkpoint(apply_train)
 
-        def train_step(state: TrainState, images, labels, rng):
-            step_rng = jax.random.fold_in(rng, state.step)
-            aug_key, drop_key = jax.random.split(step_rng)
+        accum = max(cfg.train.grad_accum_steps, 1)
+
+        def micro_grads(params, batch_stats, images, labels, micro_rng):
+            """Gradients + metrics for one (micro)batch."""
+            aug_key, drop_key = jax.random.split(micro_rng)
             x, y = augment_batch(
                 images,
                 labels,
@@ -244,18 +246,57 @@ class SegmentationTrainer:
             x = self._model_input(x)
 
             def loss_fn(params):
-                logits, new_stats = apply_train(params, state.batch_stats, x, drop_key)
+                logits, new_stats = apply_train(params, batch_stats, x, drop_key)
                 out = self.loss_fn(logits, y)
                 return out.total, (new_stats, logits, out.components)
 
             (loss, (new_stats, logits, components)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params)
-            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            )(params)
             cm = metrics_lib.confusion_matrix_update(
                 jnp.argmax(logits, axis=-1), y, num_classes, ignore_index=ignore
             )
+            return loss, grads, new_stats, cm, components
+
+        def train_step(state: TrainState, images, labels, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            if accum == 1:
+                loss, grads, new_stats, cm, components = micro_grads(
+                    state.params, state.batch_stats, images, labels, step_rng
+                )
+            else:
+                # Sequential microbatches under lax.scan: grads averaged,
+                # one optimizer update, BN running stats threaded through.
+                mb = images.shape[0] // accum
+                imgs = images.reshape(accum, mb, *images.shape[1:])
+                lbls = labels.reshape(accum, mb, *labels.shape[1:])
+
+                def body(carry, xs):
+                    bstats, gsum, lsum, cmsum, csum = carry
+                    im, lb, i = xs
+                    loss_i, grads_i, bstats, cm_i, comp_i = micro_grads(
+                        state.params, bstats, im, lb, jax.random.fold_in(step_rng, i)
+                    )
+                    gsum = jax.tree_util.tree_map(jnp.add, gsum, grads_i)
+                    csum = {k: csum[k] + v for k, v in comp_i.items()}
+                    return (bstats, gsum, lsum + loss_i, cmsum + cm_i, csum), None
+
+                zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                zero_cm = jnp.zeros((num_classes, num_classes), jnp.float32)
+                _, _, _, _, comp0 = jax.eval_shape(
+                    lambda: micro_grads(state.params, state.batch_stats, imgs[0], lbls[0], step_rng)
+                )
+                zero_comp = {k: jnp.zeros(v.shape, v.dtype) for k, v in comp0.items()}
+                (new_stats, gsum, lsum, cm, csum), _ = jax.lax.scan(
+                    body,
+                    (state.batch_stats, zeros_g, jnp.zeros((), jnp.float32), zero_cm, zero_comp),
+                    (imgs, lbls, jnp.arange(accum)),
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+                loss = lsum / accum
+                components = {k: v / accum for k, v in csum.items()}
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_stats, opt_state=new_opt
             )

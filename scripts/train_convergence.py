@@ -1,0 +1,92 @@
+"""Converged-accuracy anchor: train the headline config to convergence on the
+deterministic synthetic AOI and record mIoU/F1/acc alongside throughput.
+
+The reference publishes no accuracy numbers (BASELINE.md), so the anchor is
+self-measured on a *stable* dataset: the seeded synthetic fixture
+(s2tpu.data.dataset.make_synthetic_fixture) generates identical rasters on
+every run, making "img/s at mIoU X" reproducible. Results are written to
+MIOU.json at the repo root (cited by BASELINE.md).
+
+Run: python scripts/train_convergence.py [--model efficientnet-unet-b5]
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/s2tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from s2tpu.configs import segmentation as cfg_lib
+from s2tpu.data import statistics
+from s2tpu.data.dataset import TiffSource, make_synthetic_fixture, pack_dataset
+from s2tpu.data.pipeline import Datamodule
+from s2tpu.parallel import mesh as mesh_lib
+from s2tpu.train.trainer import SegmentationTrainer
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="efficientnet-unet-b5")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--segments", type=int, default=128)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "MIOU.json"))
+    args = p.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="s2tpu_conv_")
+    make_synthetic_fixture(
+        tmp, aoi="small", label_map="osm-multiclass", n_segments=args.segments, size=(256, 256), seed=0
+    )
+
+    config = cfg_lib.base_config(args.model, aoi="small", label_map="osm-multiclass")
+    config.datamodule.dataset_cfg.data_dir = tmp
+    config.datamodule.batch_size = args.bs
+    config.datamodule.random_crop_size = 224
+    config.datamodule.data_split = (0.75, 0.25, 0.0)
+    config.train.compute_dtype = "bfloat16"
+    config.train.lr = args.lr
+    config.train.device_corpus = True
+    config.train.max_epochs = args.epochs
+
+    source = TiffSource("small", "osm-multiclass", data_dir=tmp)
+    packed = pack_dataset(source, Path(tmp) / "packed")
+    dm = Datamodule(config.datamodule, source=packed)
+    dist = statistics.get_class_probabilities(packed, num_classes=4, ignore_zero_label=True)
+    config.train.class_distribution = dist.tolist()
+
+    trainer = SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(1))
+    t0 = time.time()
+    history = trainer.fit(epochs=args.epochs)
+    elapsed = time.time() - t0
+    best = max(history, key=lambda h: h.get("val/iou", -1.0))
+    record = {
+        "model": args.model,
+        "dataset": f"synthetic osm-multiclass seed0 n={args.segments} 256^2 (deterministic)",
+        "epochs": args.epochs,
+        "lr": args.lr,
+        "batch_size": args.bs,
+        "best_val_iou": round(best.get("val/iou", float("nan")), 4),
+        "best_val_acc": round(best.get("val/accuracy", float("nan")), 4),
+        "best_val_f1": round(best.get("val/f1", float("nan")), 4),
+        "best_epoch": best["epoch"],
+        "final_train_loss": round(history[-1].get("train/loss", float("nan")), 4),
+        "train_images_per_sec": round(history[-1].get("train/images_per_sec", 0.0), 1),
+        "wall_clock_s": round(elapsed, 1),
+        "backend": jax.default_backend(),
+    }
+    Path(args.out).write_text(json.dumps(record, indent=2) + "\n")
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
