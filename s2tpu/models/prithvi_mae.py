@@ -95,6 +95,13 @@ class PrithviConfig:
     # the partitioner reshard dp-sharded activations to match (SPMD
     # "involuntary full rematerialization" warnings, VERDICT r1).
     dp_axis: str | None = "data"
+    # Context parallelism: mesh axis to shard the TOKEN axis over in the
+    # LayerNorm/MLP regions of every block (long-sequence / large-tile
+    # inference). With tp_axis set on the same axis this is Ulysses-style:
+    # the partitioner inserts all-to-alls at the attention boundary (tokens
+    # sharded outside, heads sharded inside); without tp_axis it degrades to
+    # gather-KV attention. None = off.
+    cp_axis: str | None = None
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -214,10 +221,15 @@ class Block(nn.Module):
     attention_impl: str = "xla"
     tp_axis: str | None = None
     dp_axis: str | None = None
+    cp_axis: str | None = None
     ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.cp_axis:
+            # sequence parallelism: tokens sharded through LN/MLP; attention
+            # resharding (all-to-all / gather) is inserted by the partitioner
+            x = _constrain(x, (self.dp_axis, self.cp_axis, None))
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
             self.dim, self.num_heads, dtype=self.dtype, impl=self.attention_impl,
@@ -230,7 +242,10 @@ class Block(nn.Module):
             y = _constrain(y, (self.dp_axis, None, self.tp_axis))
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        out = x + y
+        if self.cp_axis:
+            out = _constrain(out, (self.dp_axis, self.cp_axis, None))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +302,8 @@ class PrithviMAE(nn.Module):
                 dtype=self.dtype,
                 attention_impl=cfg.attention_impl,
                 tp_axis=cfg.tp_axis,
-                dp_axis=cfg.dp_axis if cfg.tp_axis else None,
+                dp_axis=cfg.dp_axis if (cfg.tp_axis or cfg.cp_axis) else None,
+                cp_axis=cfg.cp_axis,
                 ln_eps=cfg.layer_norm_eps,
                 name=f"block_{i}",
             )
@@ -307,7 +323,8 @@ class PrithviMAE(nn.Module):
                 dtype=self.dtype,
                 attention_impl=cfg.attention_impl,
                 tp_axis=cfg.tp_axis,
-                dp_axis=cfg.dp_axis if cfg.tp_axis else None,
+                dp_axis=cfg.dp_axis if (cfg.tp_axis or cfg.cp_axis) else None,
+                cp_axis=cfg.cp_axis,
                 ln_eps=cfg.layer_norm_eps,
                 name=f"decoder_block_{i}",
             )
