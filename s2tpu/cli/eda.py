@@ -46,6 +46,49 @@ def sentinel_stats(source) -> dict:
     }
 
 
+def plot_segment_grid(aoi_name: str, out_path: Path) -> int:
+    """Visual sanity check of the AOI segmentation grid: the AOI bbox in red,
+    every 5.12 km segment bbox in translucent blue. Parity: reference
+    download_sentinel.py:271-294 (_visualize_segment_bbox); pure matplotlib
+    here (no shapely/geopandas dependency). Returns the segment count."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Patch, Rectangle
+
+    from s2tpu.configs.data_config import SEGMENT_LENGTH_KM
+    from s2tpu.geo.acquisition import calculate_segments
+
+    aoi = AOIs[aoi_name]
+    segments = calculate_segments(aoi, SEGMENT_LENGTH_KM)
+    fig, ax = plt.subplots(figsize=(10, 10))
+    for seg in segments:
+        ax.add_patch(
+            Rectangle(
+                (seg.west, seg.south), seg.east - seg.west, seg.north - seg.south,
+                facecolor="blue", alpha=0.1, edgecolor="blue", linewidth=0.5,
+            )
+        )
+    ax.add_patch(
+        Rectangle(
+            (aoi.west, aoi.south), aoi.east - aoi.west, aoi.north - aoi.south,
+            fill=False, edgecolor="red", linewidth=2,
+        )
+    )
+    ax.legend(handles=[
+        Patch(color="red", label=f"AOI {aoi_name}"),
+        Patch(color="blue", alpha=0.5, label=f"{len(segments)} segments"),
+    ])
+    ax.set_xlim(aoi.west - 0.1, aoi.east + 0.1)
+    ax.set_ylim(aoi.south - 0.1, aoi.north + 0.1)
+    ax.set_aspect("equal")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return len(segments)
+
+
 def main(argv: list[str] | None = None) -> None:
     from s2tpu.data.dataset import TiffSource
     from s2tpu.plotting import label_colormap
@@ -60,7 +103,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("labels", choices=list(LABEL_MAPS))
     p.add_argument("--data-dir", default=None)
     p.add_argument("--out", default="/tmp/s2tpu_eda")
+    p.add_argument(
+        "--segment-grid", action="store_true",
+        help="only render the AOI segment-grid debug plot (no data needed)",
+    )
     args = p.parse_args(argv)
+
+    if args.segment_grid:
+        out = Path(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        n = plot_segment_grid(args.aoi, out / f"segment_grid_{args.aoi}.png")
+        logger.info(f"segment grid for {args.aoi}: {n} segments -> {out}")
+        print(json.dumps({"aoi": args.aoi, "segments": n}))
+        return
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

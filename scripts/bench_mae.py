@@ -68,9 +68,23 @@ def main():
         state, m = trainer.train_step(state, img, trainer.base_rng)
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / 20
+
+    mfu = float("nan")
+    try:
+        cost = trainer.train_step.lower(state, img, trainer.base_rng).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        mfu = float(cost.get("flops", 0.0)) / dt / 197e12  # v5e bf16 peak
+    except Exception:  # noqa: BLE001
+        pass
+    # Baseline estimate: published torch MAE ViT-B/16 pretrain recipes reach
+    # ~850 img/s on one A100-80GB (fp16/bf16, channels-last, torch.compile);
+    # Prithvi's 6-band input barely changes encoder cost at mask 0.75.
+    ref_a100 = 850.0
+    ips = BATCH / dt
     print(
-        f"prithvi-100M MAE pretrain: {BATCH / dt:.1f} img/s/chip ({dt * 1e3:.1f} ms/step, "
-        f"bs={BATCH}, 224², mask 0.75, bf16)"
+        f"prithvi-100M MAE pretrain: {ips:.1f} img/s/chip ({dt * 1e3:.1f} ms/step, "
+        f"bs={BATCH}, 224², mask 0.75, bf16) — vs_baseline {ips / ref_a100:.2f}x "
+        f"(~{ref_a100:.0f} img/s A100 estimate), MFU {mfu:.3f}"
     )
 
 

@@ -44,3 +44,15 @@ def test_eda_cli(fixture_dir, tmp_path, capsys):
     main(["small", "osm-multiclass", "--data-dir", str(fixture_dir), "--out", str(tmp_path)])
     assert (tmp_path / "eda.json").exists()
     assert (tmp_path / "class_distribution.png").exists()
+
+
+def test_eda_segment_grid_cli(tmp_path, capsys):
+    from s2tpu.cli.eda import main
+
+    main(["small", "osm-multiclass", "--segment-grid", "--out", str(tmp_path)])
+    out = capsys.readouterr().out
+    import json
+
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["segments"] >= 1
+    assert (tmp_path / "segment_grid_small.png").exists()
