@@ -460,6 +460,23 @@ class EfficientNetUNet(nn.Module):
     config: EfficientNetUNetConfig
     dtype: typing.Any = jnp.float32
 
+    def _packed_up_stage(
+        self, y: jax.Array, skip: jax.Array, feats: int, up_name: str, dc_name: str, train: bool
+    ) -> jax.Array:
+        """up-conv + skip-concat + double-conv evaluated in the space-to-depth
+        layout: y (B, h, w, Cin) at HALF the output resolution, skip at the
+        full output resolution -> packed (B, h, w, 4, feats)."""
+        up_k, up_b = _ConvTransposeParams(feats, y.shape[-1], name=up_name)()
+        # flax ConvTranspose(k2 s2): out[2i+a, 2j+b, o] = in[i,j,:] @ kernel[1-a, 1-b]
+        y4 = jnp.einsum("bhwc,xyco->bhwxyo", y, up_k[::-1, ::-1].astype(y.dtype))
+        bsz, hp, wp = y4.shape[:3]
+        y4 = y4.reshape(bsz, hp, wp, 4, feats) + up_b.astype(y.dtype)
+        skip4 = _pack_s2d(skip).astype(y.dtype)
+        y4 = jnp.concatenate([y4, skip4], axis=-1)
+        return PackedDoubleConv(
+            feats, feats + skip.shape[-1], dtype=self.dtype, name=dc_name
+        )(y4, train=train)
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
@@ -469,6 +486,16 @@ class EfficientNetUNet(nn.Module):
         y = features[0]
         up_features = [512, 256, 128, 64]
         for i, (feats, skip) in enumerate(zip(up_features, features[1:])):
+            # Packing quadruples the conv FLOPs (the phase-aligned kernel is
+            # 75% structural zeros the MXU still multiplies), so it only wins
+            # when lane waste is >=4x, i.e. C <= 32: measured 512->444 img/s
+            # regression when applied at C=64 (stage 3). For the standard
+            # widths only the 32-channel input stage qualifies.
+            if cfg.packed_input_stage and feats <= 32:
+                y = _unpack_s2d(
+                    self._packed_up_stage(y, skip, feats, f"up_conv{i}", f"double_conv{i}", train)
+                )
+                continue
             y = nn.ConvTranspose(
                 feats, (2, 2), strides=(2, 2), kernel_init=conv_init, dtype=self.dtype, name=f"up_conv{i}"
             )(y)
@@ -485,19 +512,9 @@ class EfficientNetUNet(nn.Module):
             # Space-to-depth full-resolution stage: same parameters, packed
             # 112^2 x 4C layout (channels fill the 128 lanes). See
             # EfficientNetUNetConfig.packed_input_stage.
-            up_k, up_b = _ConvTransposeParams(32, y.shape[-1], name="input_up_conv")()
-            # flax ConvTranspose(k2 s2): out[2i+a, 2j+b, o] =
-            #   sum_c in[i, j, c] * kernel[1-a, 1-b, c, o] (+ bias)
-            y4 = jnp.einsum(
-                "bhwc,xyco->bhwxyo", y, up_k[::-1, ::-1].astype(y.dtype),
+            y4 = self._packed_up_stage(
+                y, identity, 32, "input_up_conv", "input_double_conv", train
             )
-            bsz, hp, wp = y4.shape[:3]
-            y4 = y4.reshape(bsz, hp, wp, 4, 32) + up_b.astype(y.dtype)
-            img4 = _pack_s2d(identity).astype(y.dtype)
-            y4 = jnp.concatenate([y4, img4], axis=-1)  # (B, H, W, 4, 32+in_ch)
-            y4 = PackedDoubleConv(
-                32, 32 + cfg.in_channels, dtype=self.dtype, name="input_double_conv"
-            )(y4, train=train)
             logits4 = classifier(y4.astype(jnp.float32))
             return _unpack_s2d(logits4)
         if cfg.concat_input:
