@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
     p.add_argument("--data-dir", default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--grad-accum", type=int, default=None, help="microbatches per optimizer update")
+    p.add_argument(
+        "--resume-from", default=None,
+        help="checkpoint dir of a previous run — restores latest state and continues",
+    )
     return p
 
 
@@ -65,6 +70,7 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
     t.use_wandb_logger = False if args.wandb else t.use_wandb_logger
     t.tags.extend(args.tags)
     t.seed = args.seed if args.seed is not None else t.seed
+    t.grad_accum_steps = args.grad_accum or t.grad_accum_steps
     if args.num_frames:
         config.model.num_frames = args.num_frames
         dmc.dataset_cfg.n_time_frames = args.num_frames
@@ -120,15 +126,19 @@ def main(argv: list[str] | None = None) -> None:
         config=dataclasses.asdict(config),
         use_wandb=config.train.use_wandb_logger,
     )
+    ckpt_dir = (
+        args.resume_from
+        if args.resume_from
+        else CKPT_DIR / config.train.project_name / config.train.run_name
+    )
     ckpt = CheckpointManager(
-        CKPT_DIR / config.train.project_name / config.train.run_name,
-        keep=config.train.ckpt_keep,
-        config_dict=dataclasses.asdict(config),
+        ckpt_dir, keep=config.train.ckpt_keep, config_dict=dataclasses.asdict(config)
     )
     trainer = MAETrainer(config, dm, run_logger=run_logger, checkpoint_manager=ckpt)
+    start_epoch = trainer.resume_from_checkpoint() if args.resume_from else 0
     epochs = config.train.max_epochs if config.train.max_epochs > 0 else 10**6
     try:
-        trainer.fit(epochs=epochs)
+        trainer.fit(epochs=epochs, start_epoch=start_epoch)
     finally:
         run_logger.finish()
 

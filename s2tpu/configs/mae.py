@@ -56,6 +56,11 @@ class MAETrainConfig:
     compute_dtype: str = "float32"
     remat: bool = False
     donate_state: bool = True
+    # Sequential microbatches per optimizer update (exact for the MAE loss:
+    # the static keep count makes every microbatch's masked-patch count equal).
+    grad_accum_steps: int = 1
+    # Per-layer grad/param norm logging every N steps (0 disables).
+    watch_interval: int = 30
 
     max_epochs: int = -1
     log_interval: int = 50

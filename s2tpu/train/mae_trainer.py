@@ -63,6 +63,7 @@ class MAETrainer:
         self.compute_dtype = dtype
 
         self.base_rng = jax.random.key(config.train.seed)
+        self._host_step = 0  # host mirror of state.step (watch gating, no sync)
         self.state = self._init_state()
         self._build_steps()
 
@@ -108,9 +109,11 @@ class MAETrainer:
         mask_ratio = self.mask_ratio
         dm_cfg = cfg.datamodule
 
-        def train_step(state: TrainState, images, rng):
-            step_rng = jax.random.fold_in(rng, state.step)
-            aug_key, mask_key = jax.random.split(step_rng)
+        accum = max(cfg.train.grad_accum_steps, 1)
+        watch = self.run_logger is not None and cfg.train.watch_interval > 0
+
+        def micro_grads(params, images, micro_rng):
+            aug_key, mask_key = jax.random.split(micro_rng)
             x, _ = augment_batch(
                 images, None, aug_key, self.mean, self.std,
                 dtype=self.compute_dtype, train=dm_cfg.augment,
@@ -123,12 +126,38 @@ class MAETrainer:
                 )
                 return loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return jax.value_and_grad(loss_fn)(params)
+
+        def train_step(state: TrainState, images, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            if accum == 1:
+                loss, grads = micro_grads(state.params, images, step_rng)
+            else:
+                mb = images.shape[0] // accum
+                imgs = images.reshape(accum, mb, *images.shape[1:])
+
+                def body(carry, xs):
+                    gsum, lsum = carry
+                    im, i = xs
+                    loss_i, grads_i = micro_grads(state.params, im, jax.random.fold_in(step_rng, i))
+                    return (jax.tree_util.tree_map(jnp.add, gsum, grads_i), lsum + loss_i), None
+
+                zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (gsum, lsum), _ = jax.lax.scan(
+                    body, (zeros_g, jnp.zeros((), jnp.float32)), (imgs, jnp.arange(accum))
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+                loss = lsum / accum
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            out = {"loss": loss}
+            if watch:
+                from s2tpu.train.trainer import _watch_norms
+
+                out["watch"] = _watch_norms(grads, new_params)
             return (
                 state.replace(step=state.step + 1, params=new_params, opt_state=new_opt),
-                {"loss": loss},
+                out,
             )
 
         def eval_step(state: TrainState, images, batch_mask, rng):
@@ -183,11 +212,20 @@ class MAETrainer:
             sharding=mesh_lib.data_sharding(self.mesh),
             depth=cfg.datamodule.prefetch,
         )
+        wi = cfg.train.watch_interval
         for batch in it:
             self.state, m = self.train_step(self.state, batch.images, self.base_rng)
             acc = m["loss"] if acc is None else acc + m["loss"]
             n += 1
             images_seen += batch.images.shape[0]
+            self._host_step += 1
+            if (
+                self.run_logger is not None and wi > 0
+                and self._host_step % wi == 0 and "watch" in m
+            ):
+                self.run_logger.log_scalars(
+                    {k: float(v) for k, v in m["watch"].items()}, step=self._host_step
+                )
         if n == 0:
             return {}
         return {
@@ -209,14 +247,27 @@ class MAETrainer:
             weight += w
         return {"loss": total / max(weight, 1e-9)} if weight else {}
 
-    def fit(self, epochs: int | None = None) -> list[dict]:
+    def resume_from_checkpoint(self, epoch: int | None = None) -> int:
+        """Restore from the attached checkpoint manager; returns the epoch to
+        continue from (0 when no checkpoint exists). Crash-resume parity with
+        the segmentation trainer."""
+        assert self.ckpt is not None, "resume requires a checkpoint manager"
+        latest = epoch if epoch is not None else self.ckpt.latest_epoch()
+        if latest is None:
+            return 0
+        self.state = self.ckpt.restore(self.state, epoch=latest)
+        self._host_step = int(self.state.step)
+        logger.info(f"Resumed MAE training from epoch {latest} (step {self._host_step})")
+        return latest + 1
+
+    def fit(self, epochs: int | None = None, start_epoch: int = 0) -> list[dict]:
         cfg = self.config
         max_epochs = epochs if epochs is not None else cfg.train.max_epochs
         assert max_epochs > 0, "fit() needs an explicit positive epoch count"
         if cfg.train.run_name is None:
             cfg.train.run_name = get_unique_run_name(postfix=cfg.train.project_name)
         history = []
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             tr = self.run_train_epoch(epoch)
             va = self.run_eval_epoch("val") if len(self.dm.val_idx) else {}
             record = {

@@ -59,6 +59,23 @@ def apply_trial(config: Config, params: dict) -> Config:
     return config
 
 
+def _sample_trial_optuna(optuna_trial, space: SearchSpace) -> dict:
+    """Draw one parameter set through optuna's suggest API (TPE sampling)."""
+    return {
+        "lr": optuna_trial.suggest_float("lr", *space.lr_log_range, log=True),
+        "weight_decay": optuna_trial.suggest_float(
+            "weight_decay", *space.weight_decay_log_range, log=True
+        ),
+        "loss_type": optuna_trial.suggest_categorical("loss_type", list(space.loss_types)),
+        "focal_loss_gamma": optuna_trial.suggest_categorical(
+            "focal_loss_gamma", list(space.focal_gammas)
+        ),
+        "weighted_loss": optuna_trial.suggest_categorical(
+            "weighted_loss", list(space.weighted_loss)
+        ),
+    }
+
+
 def tune(
     base_config: Config,
     datamodule_factory: typing.Callable[[Config], typing.Any],
@@ -67,15 +84,20 @@ def tune(
     seed: int = 0,
     space: SearchSpace | None = None,
     mesh=None,
+    backend: str = "random",
 ) -> list[TrialResult]:
-    """Run random-search trials; returns results sorted best-first."""
+    """Run hyperparameter-search trials; returns results sorted best-first.
+
+    backend="random" (default, dependency-free) or "optuna" (TPE sampling —
+    the reference's declared-but-stubbed tuner, train_segmentation.py:284-289;
+    falls back to random search with a warning when optuna is not installed).
+    """
     from s2tpu.train.trainer import SegmentationTrainer
 
     space = space or SearchSpace()
-    rng = np.random.default_rng(seed)
     results: list[TrialResult] = []
-    for trial in range(n_trials):
-        params = sample_trial(space, rng)
+
+    def run_trial(trial_idx: int, params: dict) -> TrialResult:
         cfg = apply_trial(base_config, params)
         dm = datamodule_factory(cfg)
         trainer = SegmentationTrainer(cfg, dm, mesh=mesh)
@@ -86,6 +108,29 @@ def tune(
         result = TrialResult(params, float(val_losses[best]), float(val_ious[best]), history)
         results.append(result)
         logger.info(
-            f"trial {trial}: {params} -> val_loss {result.val_loss:.4f} iou {result.val_iou:.4f}"
+            f"trial {trial_idx}: {params} -> val_loss {result.val_loss:.4f} iou {result.val_iou:.4f}"
         )
+        return result
+
+    if backend == "optuna":
+        try:
+            import optuna
+        except ImportError:
+            logger.warning("optuna not installed — falling back to random search")
+            backend = "random"
+        else:
+            study = optuna.create_study(
+                direction="minimize", sampler=optuna.samplers.TPESampler(seed=seed)
+            )
+
+            def objective(trial) -> float:
+                params = _sample_trial_optuna(trial, space)
+                return run_trial(trial.number, params).val_loss
+
+            study.optimize(objective, n_trials=n_trials)
+            return sorted(results, key=lambda r: r.val_loss)
+
+    rng = np.random.default_rng(seed)
+    for trial in range(n_trials):
+        run_trial(trial, sample_trial(space, rng))
     return sorted(results, key=lambda r: r.val_loss)

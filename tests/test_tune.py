@@ -59,3 +59,91 @@ def test_tune_runs_trials(fixture_dir):
     assert len(results) == 2
     assert all(isinstance(r, TrialResult) for r in results)
     assert results[0].val_loss <= results[1].val_loss  # sorted best-first
+
+
+def test_tune_optuna_backend_mock(fixture_dir, monkeypatch):
+    """The optuna backend drives trials through study.optimize / suggest_*
+    (exercised via a minimal mock since the package is absent here)."""
+    import sys
+    import types
+
+    calls = {"optimize": 0, "suggest": []}
+
+    class FakeTrial:
+        def __init__(self, number, rng):
+            self.number = number
+            self._rng = rng
+
+        def suggest_float(self, name, lo, hi, log=False):
+            calls["suggest"].append(name)
+            return float(np.exp(self._rng.uniform(np.log(lo), np.log(hi)))) if log else lo
+
+        def suggest_categorical(self, name, choices):
+            calls["suggest"].append(name)
+            return choices[self._rng.integers(len(choices))]
+
+    class FakeStudy:
+        def __init__(self, seed):
+            self._rng = np.random.default_rng(seed)
+
+        def optimize(self, objective, n_trials):
+            calls["optimize"] += 1
+            for i in range(n_trials):
+                objective(FakeTrial(i, self._rng))
+
+    fake = types.ModuleType("optuna")
+    fake.create_study = lambda direction, sampler: FakeStudy(0)
+    fake.samplers = types.SimpleNamespace(TPESampler=lambda seed: None)
+    monkeypatch.setitem(sys.modules, "optuna", fake)
+
+    base = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    base.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    base.datamodule.batch_size = 2
+    base.datamodule.data_split = (0.5, 0.5, 0.0)
+    base.datamodule.random_crop_size = 64
+    base.train.compute_dtype = "float32"
+    from s2tpu.parallel import mesh as mesh_lib
+
+    results = tune(
+        base,
+        datamodule_factory=lambda cfg: Datamodule(cfg.datamodule),
+        n_trials=2,
+        epochs_per_trial=1,
+        space=SearchSpace(loss_types=("ce",), weighted_loss=(False,)),
+        mesh=mesh_lib.make_mesh(1),
+        backend="optuna",
+    )
+    assert calls["optimize"] == 1
+    assert "lr" in calls["suggest"] and "loss_type" in calls["suggest"]
+    assert len(results) == 2
+
+
+def test_tune_optuna_missing_falls_back(fixture_dir, monkeypatch):
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_optuna(name, *a, **k):
+        if name == "optuna":
+            raise ImportError("absent")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_optuna)
+    base = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    base.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    base.datamodule.batch_size = 2
+    base.datamodule.data_split = (0.5, 0.5, 0.0)
+    base.datamodule.random_crop_size = 64
+    base.train.compute_dtype = "float32"
+    from s2tpu.parallel import mesh as mesh_lib
+
+    results = tune(
+        base,
+        datamodule_factory=lambda cfg: Datamodule(cfg.datamodule),
+        n_trials=1,
+        epochs_per_trial=1,
+        space=SearchSpace(loss_types=("ce",), weighted_loss=(False,)),
+        mesh=mesh_lib.make_mesh(1),
+        backend="optuna",
+    )
+    assert len(results) == 1  # fell back to random search
