@@ -28,8 +28,30 @@ def center_crop_offset(src_hw: tuple[int, int], crop: int) -> tuple[int, int]:
     return (src_hw[0] - crop) // 2, (src_hw[1] - crop) // 2
 
 
-def normalize(images: jax.Array, mean: jax.Array, std: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """(B, H, W, C) raw DN -> standardized compute-dtype activations."""
+def pack_s2d_flat(images: jax.Array) -> jax.Array:
+    """(B, 2H, 2W, C) -> (B, H, W, 4C) space-to-depth, phase-major.
+
+    Feeding the UNet this layout keeps every full-resolution tensor off the
+    device's narrow-channel (lane-padded) layouts — the raw 6-band raster
+    pads 6 -> 128 lanes (21x memory waste) in channels-last form.
+    """
+    b, h2, w2, c = images.shape
+    h, w = h2 // 2, w2 // 2
+    x = images.reshape(b, h, 2, w, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, 4 * c)
+
+
+def normalize(
+    images: jax.Array, mean: jax.Array, std: jax.Array, dtype=jnp.bfloat16, s2d: bool = False
+) -> jax.Array:
+    """(B, H, W, C) raw DN -> standardized compute-dtype activations.
+
+    s2d packs to (B, H/2, W/2, 4C) BEFORE the float conversion so the wide
+    normalize/cast passes run on the lane-friendly layout."""
+    if s2d:
+        images = pack_s2d_flat(images)
+        mean = jnp.tile(mean, 4)
+        std = jnp.tile(std, 4)
     x = images.astype(jnp.float32)
     x = (x - mean.astype(jnp.float32)) / std.astype(jnp.float32)
     return x.astype(dtype)
@@ -77,8 +99,10 @@ def augment_batch(
     p_vertical: float = 0.5,
     dtype=jnp.bfloat16,
     train: bool = True,
+    s2d: bool = False,
 ) -> tuple[jax.Array, jax.Array | None]:
-    """Full on-device transform: flips (train only) then normalize."""
+    """Full on-device transform: flips (train only), then (optionally
+    space-to-depth-packed) normalize."""
     if train:
         images, labels = random_flips(images, labels, key, p_horizontal, p_vertical)
-    return normalize(images, mean, std, dtype=dtype), labels
+    return normalize(images, mean, std, dtype=dtype, s2d=s2d), labels

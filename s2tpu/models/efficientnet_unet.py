@@ -271,14 +271,14 @@ class EfficientNetEncoder(nn.Module):
         cfg = self.config
         w, d, dropout = cfg.scaling
         self._specs = self.block_specs
-        self.stem_conv = nn.Conv(
+        # Raw kernel holder (same tree as nn.Conv): encode() applies it as a
+        # dense stride-2 conv or, for space-to-depth-packed inputs, as the
+        # equivalent k2 packed conv (_packed_stem_kernel).
+        self.stem_conv = _ConvParams(
             round_filters(32, w, cfg.depth_divisor, cfg.min_depth),
-            (3, 3),
-            strides=(2, 2),
-            padding="SAME",
+            cfg.in_channels,
+            ksize=(3, 3),
             use_bias=False,
-            kernel_init=conv_init,
-            dtype=self.dtype,
             name="stem_conv",
         )
         self.stem_bn = nn.BatchNorm(
@@ -305,9 +305,29 @@ class EfficientNetEncoder(nn.Module):
         self.dropout = nn.Dropout(rate=dropout)
         self.fc = nn.Dense(cfg.num_classes, kernel_init=dense_init, name="fc")
 
-    def encode(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, list[jax.Array]]:
+    def encode(
+        self, x: jax.Array, train: bool = False, packed: bool = False
+    ) -> tuple[jax.Array, list[jax.Array]]:
+        kernel, _ = self.stem_conv()
+        if packed:
+            # x: (B, H/2, W/2, 4*in_channels) space-to-depth input
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                _packed_stem_kernel(kernel.astype(self.dtype)),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                (2, 2),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         cfg_bn = self.stem_bn
-        x = nn.silu(cfg_bn(self.stem_conv(x), use_running_average=not train))
+        x = nn.silu(cfg_bn(x, use_running_average=not train))
         skips: list[jax.Array] = []
         reduction = 2
         for i, (block, spec) in enumerate(zip(self.blocks, self._specs)):
@@ -390,6 +410,32 @@ def _packed_conv3x3_kernel(w: jax.Array) -> jax.Array:
     return k
 
 
+def _packed_stem_kernel(w: jax.Array) -> jax.Array:
+    """Stride-2 SAME 3x3 stem kernel (3, 3, Cin, Cout) -> (2, 2, 4Cin, Cout)
+    consuming the space-to-depth-packed input directly (output is the dense
+    half-resolution stem activation).
+
+    XLA's SAME for k3 s2 on even sizes pads (0, 1): out[i] reads pixel rows
+    {2i, 2i+1, 2i+2} = packed rows i..i+1 with dy = 2*kdy + alpha; the
+    packed conv is k2 s1 SAME (also (0, 1) padding) — exact.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for kdy in range(2):
+        for alpha in range(2):
+            dy = 2 * kdy + alpha
+            if dy > 2:
+                continue
+            for kdx in range(2):
+                for beta in range(2):
+                    dx = 2 * kdx + beta
+                    if dx > 2:
+                        continue
+                    pi = alpha * 2 + beta
+                    k = k.at[kdy, kdx, pi * cin : (pi + 1) * cin, :].set(w[dy, dx])
+    return k
+
+
 class _ConvTransposeParams(nn.Module):
     """Parameter holder matching nn.ConvTranspose's tree (kernel + bias)."""
 
@@ -405,16 +451,17 @@ class _ConvTransposeParams(nn.Module):
 
 
 class _ConvParams(nn.Module):
-    """Parameter holder matching nn.Conv's tree (kernel + bias)."""
+    """Parameter holder matching nn.Conv's tree (kernel [+ bias])."""
 
     features: int
     in_features: int
     ksize: tuple[int, int] = (3, 3)
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", conv_init, (*self.ksize, self.in_features, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
         return kernel, bias
 
 
@@ -471,7 +518,7 @@ class EfficientNetUNet(nn.Module):
         y4 = jnp.einsum("bhwc,xyco->bhwxyo", y, up_k[::-1, ::-1].astype(y.dtype))
         bsz, hp, wp = y4.shape[:3]
         y4 = y4.reshape(bsz, hp, wp, 4, feats) + up_b.astype(y.dtype)
-        skip4 = _pack_s2d(skip).astype(y.dtype)
+        skip4 = (skip if skip.ndim == 5 else _pack_s2d(skip)).astype(y.dtype)
         y4 = jnp.concatenate([y4, skip4], axis=-1)
         return PackedDoubleConv(
             feats, feats + skip.shape[-1], dtype=self.dtype, name=dc_name
@@ -479,10 +526,26 @@ class EfficientNetUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """x: (B, H, W, in_channels) raster — or, when packed_input_stage,
+        optionally the pre-packed (B, H/2, W/2, 4*in_channels) space-to-depth
+        layout (the trainer feeds this so the device never materializes a
+        narrow-channel full-resolution tensor)."""
         cfg = self.config
-        identity = x
         encoder = EfficientNetEncoder(cfg, dtype=self.dtype, name="encoder")
-        _, features = encoder.encode(x, train=train)
+        identity = x
+        identity4 = None
+        if cfg.packed_input_stage:
+            if x.shape[-1] == cfg.in_channels:
+                identity4 = _pack_s2d(x)
+            else:
+                assert x.shape[-1] == 4 * cfg.in_channels, x.shape
+                bsz, hp, wp = x.shape[:3]
+                identity4 = x.reshape(bsz, hp, wp, 4, cfg.in_channels)
+            xin = identity4.reshape(*identity4.shape[:3], 4 * cfg.in_channels)
+            _, features = encoder.encode(xin, train=train, packed=True)
+        else:
+            assert x.shape[-1] == cfg.in_channels, x.shape
+            _, features = encoder.encode(x, train=train)
         y = features[0]
         up_features = [512, 256, 128, 64]
         for i, (feats, skip) in enumerate(zip(up_features, features[1:])):
@@ -513,7 +576,7 @@ class EfficientNetUNet(nn.Module):
             # 112^2 x 4C layout (channels fill the 128 lanes). See
             # EfficientNetUNetConfig.packed_input_stage.
             y4 = self._packed_up_stage(
-                y, identity, 32, "input_up_conv", "input_double_conv", train
+                y, identity4, 32, "input_up_conv", "input_double_conv", train
             )
             logits4 = classifier(y4.astype(jnp.float32))
             return _unpack_s2d(logits4)

@@ -82,6 +82,11 @@ class SegmentationTrainer:
         )
         self.model = config.build_model()
         self.is_prithvi = config.model_name.value.startswith("fc-prithvi")
+        # UNet + packed stage: feed space-to-depth inputs so no 224²x6
+        # tensor ever materializes on device (see augment.normalize).
+        self._s2d_input = (
+            not self.is_prithvi and getattr(self.model.config, "packed_input_stage", False)
+        )
         self.compute_dtype = _dtype_from_name(config.train.compute_dtype)
         self.run_logger = run_logger
         self.ckpt = checkpoint_manager
@@ -272,6 +277,7 @@ class SegmentationTrainer:
                 p_vertical=dm_cfg.random_vertical_flip_p,
                 dtype=self.compute_dtype,
                 train=device_flips,
+                s2d=self._s2d_input,
             )
             x = self._model_input(x)
 
@@ -338,7 +344,7 @@ class SegmentationTrainer:
         def eval_step(state: TrainState, images, labels, batch_mask):
             x, _ = augment_batch(
                 images, labels, jax.random.key(0), self.mean, self.std,
-                dtype=self.compute_dtype, train=False,
+                dtype=self.compute_dtype, train=False, s2d=self._s2d_input,
             )
             x = self._model_input(x)
             variables = {"params": state.params}
@@ -375,7 +381,7 @@ class SegmentationTrainer:
 
     def _predict(self, state: TrainState, images):
         """Raw logits for inference (normalize + forward, no augmentation)."""
-        x = normalize(images, self.mean, self.std, dtype=self.compute_dtype)
+        x = normalize(images, self.mean, self.std, dtype=self.compute_dtype, s2d=self._s2d_input)
         x = self._model_input(x)
         variables = {"params": state.params}
         if state.batch_stats:

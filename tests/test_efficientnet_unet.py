@@ -169,7 +169,7 @@ def test_packed_input_stage_matches_dense():
         fd = jax.jit(lambda v, x, k: md.apply(v, x, train=True, mutable=["batch_stats"], rngs={"dropout": k}))
         yp2, mutp = fp(vp, x, jax.random.key(1))
         yd2, mutd = fd(vd, x, jax.random.key(1))
-        np.testing.assert_allclose(np.asarray(yp2), np.asarray(yd2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(yp2), np.asarray(yd2), atol=3e-4)
         sa = jtu.tree_leaves_with_path(mutp["batch_stats"])
         sb = jtu.tree_leaves_with_path(mutd["batch_stats"])
         assert [jtu.keystr(k) for k, _ in sa] == [jtu.keystr(k) for k, _ in sb]
