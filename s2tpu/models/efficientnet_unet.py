@@ -119,6 +119,10 @@ class EfficientNetUNetConfig:
     # (same tree, same shapes); packed kernels are built from the dense ones
     # at trace time. Disable for exact op-order parity with the reference.
     packed_input_stage: bool = True
+    # Run the early encoder blocks (stride-1, expand_ratio=1 — the narrow
+    # 112^2 stage) on the c-major space-to-depth layout: grouped packed
+    # depthwise, phase-tiled 1x1 project, PackedBN. Same tree/semantics.
+    packed_early_blocks: bool = False
 
     def __post_init__(self) -> None:
         if self.version not in SCALING:
@@ -158,6 +162,106 @@ def class_prior_bias_init(class_distribution: typing.Sequence[float] | None):
     return init
 
 
+
+
+def _pack_cmajor(x: jax.Array) -> jax.Array:
+    """(B, 2H, 2W, C) -> (B, H, W, C*4) space-to-depth, CHANNEL-major: flat
+    index c*4 + (a*2+b). Groups of 4 consecutive channels hold one source
+    channel's phases, so grouped convs (feature_group_count=C) express
+    packed depthwise convolution with contiguous groups."""
+    b, h2, w2, c = x.shape
+    h, w = h2 // 2, w2 // 2
+    x = x.reshape(b, h, 2, w, 2, c).transpose(0, 1, 3, 5, 2, 4)  # b h w c a b2
+    return x.reshape(b, h, w, c * 4)
+
+
+def _unpack_cmajor(x: jax.Array, channels: int) -> jax.Array:
+    """(B, H, W, C*4) c-major -> (B, 2H, 2W, C)."""
+    b, h, w, _ = x.shape
+    x = x.reshape(b, h, w, channels, 2, 2).transpose(0, 1, 4, 2, 5, 3)  # b h a w b2 c
+    return x.reshape(b, 2 * h, 2 * w, channels)
+
+
+def _packed_dw_kernel(w: jax.Array) -> jax.Array:
+    """Depthwise kernel (k, k, 1, C) -> grouped packed kernel
+    (k, k, 4, 4C) for feature_group_count=C over the c-major layout
+    (stride-1 SAME; same phase-alignment rule as _packed_conv3x3_kernel)."""
+    kh = w.shape[0]
+    assert kh == 3, "packed depthwise supports k=3 (the e=1 stages)"
+    c = w.shape[3]
+    out = jnp.zeros((3, 3, 4, 4 * c), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for alpha in range(2):
+                for beta in range(2):
+                    for dY in (-1, 0, 1):
+                        dy = 2 * dY + alpha - a
+                        if dy not in (-1, 0, 1):
+                            continue
+                        for dX in (-1, 0, 1):
+                            dx = 2 * dX + beta - b
+                            if dx not in (-1, 0, 1):
+                                continue
+                            p_in = alpha * 2 + beta
+                            p_out = a * 2 + b
+                            out = out.at[dY + 1, dX + 1, p_in, p_out::4].set(w[dy + 1, dx + 1, 0, :])
+    return out
+
+
+def _phase_tiled_1x1_kernel(w: jax.Array) -> jax.Array:
+    """Dense (Cin, Cout) channel-dot kernel -> (1, 1, 4Cin, 4Cout) c-major
+    phase-diagonal conv kernel (each phase gets the same weights)."""
+    cin, cout = w.shape
+    k = jnp.zeros((1, 1, 4 * cin, 4 * cout), w.dtype)
+    for p in range(4):
+        k = k.at[0, 0, p::4, p::4].set(w)
+    return k
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense(use_bias=False)'s tree."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_init, (self.in_features, self.features))
+
+
+class PackedBN(nn.Module):
+    """BatchNorm over the c-major packed layout (B, H, W, C*4) with exact
+    nn.BatchNorm semantics and an identical parameter/stats tree: statistics
+    per source channel c reduce over (B, H, W, phase)."""
+
+    features: int
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,))
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,))
+        if train:
+            xf = x.astype(jnp.float32)
+            m_flat = xf.mean(axis=(0, 1, 2))  # (4C,)
+            sq_flat = (xf * xf).mean(axis=(0, 1, 2))
+            mean = m_flat.reshape(c, 4).mean(-1)
+            var = sq_flat.reshape(c, 4).mean(-1) - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        shift = (bias - mean * scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        return x.astype(self.dtype) * jnp.repeat(inv, 4) + jnp.repeat(shift, 4)
+
+
 class DepthwiseConv(nn.Module):
     """Depthwise conv layer routing to the Pallas kernel on TPU.
 
@@ -171,9 +275,23 @@ class DepthwiseConv(nn.Module):
     dtype: typing.Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
         from s2tpu.ops.depthwise_conv import depthwise_conv2d
 
+        if packed:
+            # c-major space-to-depth layout: grouped conv, one group per
+            # source channel (4 phase channels in/out per group).
+            assert self.stride == 1
+            c = x.shape[-1] // 4
+            kernel = self.param("kernel", conv_init, (self.kernel_size, self.kernel_size, 1, c), jnp.float32)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                _packed_dw_kernel(kernel.astype(self.dtype)),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            )
         k, c = self.kernel_size, x.shape[-1]
         kernel = self.param("kernel", conv_init, (k, k, 1, c), jnp.float32)
         return depthwise_conv2d(
@@ -191,7 +309,9 @@ class MBConv(nn.Module):
     dtype: typing.Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool, packed: bool = False) -> jax.Array:
+        if packed:
+            return self._packed(x, train)
         s = self.spec
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train,
@@ -225,6 +345,50 @@ class MBConv(nn.Module):
         )(x)
         x = bn("project_bn")(x)
         if s.skip and s.stride == 1 and s.in_filters == s.out_filters:
+            if train and self.drop_rate > 0.0:
+                keep = 1.0 - self.drop_rate
+                mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (x.shape[0], 1, 1, 1))
+                x = x / keep * mask.astype(x.dtype)
+            x = x + identity
+        return x
+
+    def _packed(self, x: jax.Array, train: bool) -> jax.Array:
+        """Block evaluated on the c-major space-to-depth layout (e=1, s=1
+        stages only: depthwise + SE + project, no expand). Identical
+        parameter/stats tree to the dense branch."""
+        s = self.spec
+        assert s.expand_ratio == 1 and s.stride == 1, s
+        c = s.in_filters
+        identity = x
+        x = DepthwiseConv(
+            kernel_size=s.kernel_size, stride=1, dtype=self.dtype, name="depthwise_conv"
+        )(x, packed=True)
+        x = nn.silu(PackedBN(
+            c, momentum=self.bn_momentum, epsilon=self.bn_epsilon, dtype=self.dtype,
+            name="depthwise_bn",
+        )(x, train))
+        if 0 < s.se_ratio <= 1:
+            squeezed = max(1, int(s.in_filters * s.se_ratio))
+            bsz = x.shape[0]
+            pooled = x.mean(axis=(1, 2)).reshape(bsz, c, 4).mean(-1)  # (B, C)
+            se = pooled[:, None, None, :]
+            se = nn.Dense(squeezed, kernel_init=conv_init, dtype=self.dtype, name="se_reduce")(se)
+            se = nn.silu(se)
+            se = nn.Dense(c, kernel_init=conv_init, dtype=self.dtype, name="se_expand")(se)
+            x = x * jnp.repeat(nn.sigmoid(se), 4, axis=-1)
+        proj_k = _DenseParams(s.out_filters, c, name="project_conv")()
+        x = jax.lax.conv_general_dilated(
+            x,
+            _phase_tiled_1x1_kernel(proj_k.astype(self.dtype)),
+            (1, 1),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = PackedBN(
+            s.out_filters, momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+            dtype=self.dtype, name="project_bn",
+        )(x, train)
+        if s.skip and s.in_filters == s.out_filters:
             if train and self.drop_rate > 0.0:
                 keep = 1.0 - self.drop_rate
                 mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (x.shape[0], 1, 1, 1))
@@ -330,14 +494,28 @@ class EfficientNetEncoder(nn.Module):
         x = nn.silu(cfg_bn(x, use_running_average=not train))
         skips: list[jax.Array] = []
         reduction = 2
+        # Early narrow blocks on the c-major packed layout (see
+        # packed_early_blocks). Pack once after the stem; unpack before the
+        # first block that strides or expands.
+        blocks_packed = False
+        if self.config.packed_early_blocks and self._specs and (
+            self._specs[0].stride == 1 and self._specs[0].expand_ratio == 1
+        ):
+            x = _pack_cmajor(x)
+            blocks_packed = True
         for i, (block, spec) in enumerate(zip(self.blocks, self._specs)):
+            if blocks_packed and not (spec.stride == 1 and spec.expand_ratio == 1):
+                x = _unpack_cmajor(x, self._specs[i - 1].out_filters)
+                blocks_packed = False
             if spec.stride == 2:
                 reduction *= 2
-            x = block(x, train=train)
+            x = block(x, train=train, packed=blocks_packed)
             # First block output at each resolution < 1/32 feeds the decoder
             # (static equivalent of the reference's shape-change heuristic).
             if (i == 0 or spec.stride == 2) and reduction < 32:
-                skips.insert(0, x)
+                skips.insert(0, _unpack_cmajor(x, spec.out_filters) if blocks_packed else x)
+        if blocks_packed:
+            x = _unpack_cmajor(x, self._specs[-1].out_filters)
         x = nn.silu(self.head_bn(self.head_conv(x), use_running_average=not train))
         return x, [x, *skips]
 

@@ -175,3 +175,36 @@ def test_packed_input_stage_matches_dense():
         assert [jtu.keystr(k) for k, _ in sa] == [jtu.keystr(k) for k, _ in sb]
         for (k, a), (_, b) in zip(sa, sb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=jtu.keystr(k))
+
+
+def test_packed_early_blocks_match_dense():
+    """c-major packed early blocks (flag-gated, documented perf experiment)
+    must be numerically identical to the dense path."""
+    import dataclasses
+
+    import jax.tree_util as jtu
+
+    from s2tpu.models.efficientnet_unet import EfficientNetUNet, EfficientNetUNetConfig
+
+    cfg_d = EfficientNetUNetConfig(version="b0", in_channels=6, num_classes=4, packed_early_blocks=False)
+    cfg_p = dataclasses.replace(cfg_d, packed_early_blocks=True)
+    md, mp = EfficientNetUNet(cfg_d), EfficientNetUNet(cfg_p)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 6)).astype(np.float32))
+    vd = jax.jit(lambda: md.init(jax.random.key(0), jnp.zeros((1, 64, 64, 6)), train=False))()
+    vp = jax.jit(lambda: mp.init(jax.random.key(0), jnp.zeros((1, 64, 64, 6)), train=False))()
+    pa = jtu.tree_leaves_with_path(vp["params"])
+    pb = jtu.tree_leaves_with_path(vd["params"])
+    assert [jtu.keystr(k) for k, _ in pa] == [jtu.keystr(k) for k, _ in pb]
+    with jax.default_matmul_precision("highest"):
+        yd = jax.jit(lambda v, x: md.apply(v, x, train=False))(vd, x)
+        yp = jax.jit(lambda v, x: mp.apply(v, x, train=False))(vp, x)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=2e-5)
+        fd = jax.jit(lambda v, x, k: md.apply(v, x, train=True, mutable=["batch_stats"], rngs={"dropout": k}))
+        fp = jax.jit(lambda v, x, k: mp.apply(v, x, train=True, mutable=["batch_stats"], rngs={"dropout": k}))
+        yd2, mutd = fd(vd, x, jax.random.key(1))
+        yp2, mutp = fp(vp, x, jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(yp2), np.asarray(yd2), atol=3e-4)
+        sa = jtu.tree_leaves_with_path(mutp["batch_stats"])
+        sb = jtu.tree_leaves_with_path(mutd["batch_stats"])
+        for (k, a), (_, b) in zip(sa, sb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=jtu.keystr(k))
