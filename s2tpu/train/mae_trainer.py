@@ -272,6 +272,7 @@ class MAETrainer:
             va = self.run_eval_epoch("val") if len(self.dm.val_idx) else {}
             record = {
                 "epoch": epoch,
+                "train/lr": float(cfg.train.lr),  # LearningRateMonitor parity
                 **{f"train/{k}": v for k, v in tr.items()},
                 **{f"val/{k}": v for k, v in va.items()},
             }

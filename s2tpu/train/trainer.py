@@ -511,6 +511,10 @@ class SegmentationTrainer:
             val_metrics = self.run_eval_epoch("val") if len(self.dm.val_idx) else {}
             record = {
                 "epoch": epoch,
+                # LearningRateMonitor parity (reference train_segmentation.py:258)
+                "train/lr": float(
+                    self.schedule(self._host_step) if callable(self.schedule) else self.schedule
+                ),
                 **{f"train/{k}": v for k, v in train_metrics.items() if np.isscalar(v)},
                 **{f"val/{k}": v for k, v in val_metrics.items() if np.isscalar(v)},
             }

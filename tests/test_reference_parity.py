@@ -23,6 +23,8 @@ returned ids_restore.
 
 from __future__ import annotations
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -31,7 +33,12 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from tests.reference_loader import load_reference_modules  # noqa: E402
+from tests.reference_loader import REFERENCE_ROOT, load_reference_modules  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path(REFERENCE_ROOT, "src").exists(),
+    reason="reference checkout not present (parity oracle unavailable)",
+)
 
 from s2tpu.checkpoint.convert_torch import (  # noqa: E402
     convert_prithvi_state_dict,
