@@ -90,8 +90,26 @@ class CheckpointManager:
         path = self.directory / "config.json"
         return json.loads(path.read_text()) if path.exists() else None
 
+    def restore_raw(self, epoch: int | None = None) -> dict:
+        """Restore the saved tree without a template (raw arrays) — for
+        cross-model ingestion, e.g. loading an s2tpu MAE pretraining
+        checkpoint's encoder into the segmentation backbone."""
+        if epoch is None:
+            epoch = self._manager.latest_step()
+        assert epoch is not None, "no checkpoint to restore"
+        return self._manager.restore(epoch, args=ocp.args.StandardRestore())
+
     def close(self) -> None:
         self._manager.close()
+
+
+def load_params(directory: str | Path, epoch: int | None = None) -> dict:
+    """Params pytree from any s2tpu checkpoint directory (no templates)."""
+    mgr = CheckpointManager(directory)
+    try:
+        return mgr.restore_raw(epoch)["params"]
+    finally:
+        mgr.close()
 
 
 def _to_saveable(state: TrainState) -> dict[str, typing.Any]:

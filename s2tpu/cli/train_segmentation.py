@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--resume-from", default=None,
         help="checkpoint dir of a previous run — restores latest state and continues",
     )
+    p.add_argument(
+        "--backbone-ckpt", default=None,
+        help="fc-prithvi: init the backbone from an s2tpu MAE pretraining checkpoint dir",
+    )
     # --type tune knobs (random search; reference stubs train_segmentation.py:284-289)
     p.add_argument("--n-trials", type=int, default=10, help="tune: number of random-search trials")
     p.add_argument("--epochs-per-trial", type=int, default=3, help="tune: short-fit budget per trial")
@@ -95,6 +99,7 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     t.device_corpus = args.device_corpus or t.device_corpus
     t.compute_dtype = args.compute_dtype or t.compute_dtype
     t.seed = args.seed if args.seed is not None else t.seed
+    t.backbone_ckpt = args.backbone_ckpt or t.backbone_ckpt
     t.weighted_loss = args.weighted_loss or t.weighted_loss
     t.focal_loss_gamma = args.focal_loss_gamma or t.focal_loss_gamma
     t.lr_scheduler_type = (

@@ -94,6 +94,11 @@ class TrainConfig:
     # host sends only index/offset vectors (see s2tpu/data/device_corpus.py).
     device_corpus: bool = False
 
+    # fc-prithvi-backbone: initialize the backbone from an s2tpu MAE
+    # pretraining checkpoint directory (our own pretrain -> finetune flow)
+    # instead of the converted Prithvi_100M.pt.
+    backbone_ckpt: str | None = None
+
     # Gradient accumulation: split each batch into N sequential microbatches
     # (lax.scan inside the jit'd step) and apply one optimizer update on the
     # averaged gradients. Effective batch stays datamodule.batch_size;

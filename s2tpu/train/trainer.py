@@ -205,11 +205,26 @@ class SegmentationTrainer:
 
     # ------------------------------------------------------------------
     def _load_prithvi_backbone(self, params):
-        """Converted Prithvi_100M.pt weights into the seg backbone (parity:
-        reference PrithviSegmentationNet ctor -> load_prithvi, utils.py:62-96).
+        """Pretrained weights into the seg backbone: an s2tpu MAE checkpoint
+        (train.backbone_ckpt — our own pretrain->finetune flow) or the
+        converted Prithvi_100M.pt (parity: reference PrithviSegmentationNet
+        ctor -> load_prithvi, utils.py:62-96).
 
         Missing weights only warn — but LOUDLY when the backbone is frozen:
         training a frozen randomly-initialized backbone is meaningless."""
+        if self.config.train.backbone_ckpt:
+            from s2tpu.checkpoint.convert_torch import _merge_into
+            from s2tpu.checkpoint.orbax_io import load_params
+
+            mae_params = load_params(self.config.train.backbone_ckpt)
+            params = dict(params)
+            # The MAE model IS the backbone module: encoder keys line up;
+            # decoder keys are absent from the seg template and drop out.
+            params["backbone"] = _merge_into(
+                params["backbone"], jax.tree_util.tree_map(np.asarray, mae_params)
+            )
+            logger.info(f"Loaded MAE-pretrained backbone from {self.config.train.backbone_ckpt}")
+            return params
         try:
             from s2tpu.checkpoint.convert_torch import load_prithvi_weights
 

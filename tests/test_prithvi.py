@@ -226,3 +226,58 @@ def test_seg_trainer_loads_prithvi_weights(fixture_dir, tmp_path, monkeypatch, c
     trainer = build_trainer()
     got = np.asarray(trainer.state.params["backbone"]["cls_token"])
     np.testing.assert_allclose(got.ravel(), sd["cls_token"].numpy().ravel(), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_mae_pretrain_to_seg_finetune(fixture_dir, tmp_path):
+    """Full self-contained pretrain->finetune flow: MAE-pretrain a ViT-B on
+    the fixture AOI, checkpoint it (Orbax), then initialize the frozen
+    fc-prithvi segmentation backbone from that checkpoint via
+    train.backbone_ckpt — our own weights, no torch file involved."""
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.configs import mae as mae_cfg
+    from s2tpu.configs import segmentation as cfg_lib
+    from s2tpu.configs.segmentation import DatamoduleConfig, DatasetConfig
+    from s2tpu.data.dataset import TiffSource
+    from s2tpu.data.pipeline import Datamodule
+    from s2tpu.models.prithvi_mae import PrithviConfig
+    from s2tpu.parallel import mesh as mesh_lib
+    from s2tpu.train.mae_trainer import MAETrainer
+    from s2tpu.train.trainer import SegmentationTrainer
+    from s2tpu.utils import load_prithvi_model_args
+
+    # 1) MAE pretrain (real ViT-B arch at a 64 crop) + checkpoint
+    mcfg = mae_cfg.base_config(aoi="small")
+    mcfg.train.from_scratch = True
+    mcfg.datamodule.batch_size = 2
+    mcfg.datamodule.random_crop_size = 64
+    vit_b_64 = PrithviConfig.from_model_args(load_prithvi_model_args(), num_frames=1, img_size=64)
+    dm = Datamodule(
+        DatamoduleConfig(
+            dataset_cfg=DatasetConfig(aoi="small", label_map="osm-multiclass", data_dir=str(fixture_dir)),
+            batch_size=2, data_split=(1.0, 0.0, 0.0), random_crop_size=64,
+        ),
+        source=TiffSource("small", "osm-multiclass", data_dir=fixture_dir, require_labels=False),
+    )
+    ckpt_dir = tmp_path / "mae_ck"
+    ckpt = CheckpointManager(ckpt_dir, keep=1)
+    mae = MAETrainer(mcfg, dm, mesh=mesh_lib.make_mesh(1), model_config=vit_b_64, checkpoint_manager=ckpt)
+    mae.fit(epochs=1)
+    mae_cls = np.asarray(mae.state.params["cls_token"])
+
+    # 2) seg finetune with backbone_ckpt
+    scfg = cfg_lib.base_config("fc-prithvi-backbone", aoi="small", label_map="osm-multiclass")
+    scfg.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    scfg.datamodule.batch_size = 2
+    scfg.datamodule.random_crop_size = 64
+    scfg.datamodule.data_split = (1.0, 0.0, 0.0)
+    scfg.train.compute_dtype = "float32"
+    scfg.train.backbone_ckpt = str(ckpt_dir)
+    sdm = Datamodule(scfg.datamodule)
+    strainer = SegmentationTrainer(scfg, sdm, mesh=mesh_lib.make_mesh(1))
+    got = np.asarray(strainer.state.params["backbone"]["cls_token"])
+    np.testing.assert_allclose(got, mae_cls, atol=1e-6)
+    # the loaded backbone trains end-to-end (one step, head-only gradients)
+    batch = next(iter(sdm.train_batches(epoch=0)))
+    state, m = strainer.train_step(strainer.state, batch.images, batch.labels, strainer.base_rng)
+    assert np.isfinite(float(m["loss"]))
