@@ -1,6 +1,13 @@
-"""Pack a GeoTIFF dataset into memory-mapped arrays for TPU-rate input.
+"""Pack a GeoTIFF dataset for TPU-rate input.
+
+Two formats:
+  * memmap (default): two monolithic .npy arrays — the hot path
+    (zero-copy gathers, native C++ crop gather, device-corpus upload).
+  * sharded: .s2rec sharded records (s2tpu.data.records) — corpora beyond
+    single-memmap practicality; optional per-record zlib compression.
 
     python -m s2tpu.cli.pack <aoi> <label_map> [--data-dir DIR] [--out DIR]
+        [--format memmap|sharded] [--compress] [--records-per-shard N]
 """
 
 from __future__ import annotations
@@ -18,6 +25,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("labels", choices=list(LABEL_MAPS))
     p.add_argument("--data-dir", default=None)
     p.add_argument("--out", default=None, help="default: <data>/<aoi>/packed/<label_map>")
+    p.add_argument("--format", default="memmap", choices=["memmap", "sharded"])
+    p.add_argument("--compress", action="store_true", help="sharded: zlib per record")
+    p.add_argument("--records-per-shard", type=int, default=512)
     args = p.parse_args(argv)
 
     source = TiffSource(args.aoi, args.labels, data_dir=args.data_dir)
@@ -26,6 +36,15 @@ def main(argv: list[str] | None = None) -> None:
         if args.out
         else DataDirs(args.aoi, args.labels, data_dir=args.data_dir).base_path / "packed" / args.labels
     )
+    if args.format == "sharded":
+        from s2tpu.data.records import write_sharded_records
+
+        packed = write_sharded_records(
+            source, out, records_per_shard=args.records_per_shard, compress=args.compress
+        )
+        n_shards = len(packed.meta["shards"])
+        print(f"Packed {len(packed)} segments -> {out} ({n_shards} shards, compress={args.compress})")
+        return
     packed = pack_dataset(source, out)
     print(f"Packed {len(packed)} segments -> {out}")
 

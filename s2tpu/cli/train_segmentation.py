@@ -62,7 +62,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--device-corpus", action="store_true",
         help="upload the packed corpus to HBM once; crop/augment on device",
     )
+    p.add_argument(
+        "--device-corpus-sharded", action="store_true",
+        help="shard the HBM corpus over the 'data' mesh (N/D segments per chip)",
+    )
     p.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
+    p.add_argument(
+        "--param-dtype", default=None, choices=["bfloat16", "float32"],
+        help="parameter storage dtype (bfloat16 keeps an f32 master in the optimizer)",
+    )
+    p.add_argument(
+        "--source", default="auto", choices=["auto", "tiff", "packed", "records"],
+        help="input backend: auto picks a packed corpus when one exists",
+    )
     p.add_argument("--crop", type=int, default=None, help="training crop size (default 224)")
     p.add_argument("--data-dir", default=None, help="override DATA_DIR root")
     p.add_argument("--seed", type=int, default=None)
@@ -96,8 +108,10 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     t.tags.extend(args.tags)
     t.num_devices = args.num_devices
     t.remat = args.remat or t.remat
-    t.device_corpus = args.device_corpus or t.device_corpus
+    t.device_corpus = args.device_corpus or args.device_corpus_sharded or t.device_corpus
+    t.device_corpus_sharded = args.device_corpus_sharded or t.device_corpus_sharded
     t.compute_dtype = args.compute_dtype or t.compute_dtype
+    t.param_dtype = args.param_dtype or t.param_dtype
     t.seed = args.seed if args.seed is not None else t.seed
     t.backbone_ckpt = args.backbone_ckpt or t.backbone_ckpt
     t.weighted_loss = args.weighted_loss or t.weighted_loss
@@ -123,11 +137,19 @@ def main(argv: list[str] | None = None) -> None:
     from s2tpu.train.logging_utils import RunLogger
     from s2tpu.train.trainer import SegmentationTrainer
 
+    from s2tpu.data.dataset import open_source
+
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
     logger.info(f"Config ({args.type}):\n{pprint.pformat(dataclasses.asdict(config))}")
 
-    dm = Datamodule(config.datamodule)
+    ds_cfg = config.datamodule.dataset_cfg
+    source = open_source(
+        ds_cfg.aoi, ds_cfg.label_map, ds_cfg.data_dir,
+        n_time_frames=ds_cfg.n_time_frames, kind=args.source,
+    )
+    logger.info(f"Input source: {type(source).__name__}")
+    dm = Datamodule(config.datamodule, source=source)
     logger.info("Computing class distribution...")
     class_distribution = statistics.get_class_probabilities(
         dm.source, num_classes=config.num_classes, ignore_zero_label=config.train.masked_loss
@@ -135,9 +157,11 @@ def main(argv: list[str] | None = None) -> None:
     config.train.class_distribution = class_distribution.tolist()
     if args.weighted_sampling:
         config.datamodule.class_distribution = class_distribution.tolist()
-        dm = Datamodule(config.datamodule)  # rebuild with sampling weights
+        dm = Datamodule(config.datamodule, source=source)  # rebuild with sampling weights
 
-    stats_path = dm.source.data_dirs.base_path / "mean_std.json" if hasattr(dm.source, "data_dirs") else None
+    from s2tpu.configs.data_config import DataDirs
+
+    stats_path = DataDirs(ds_cfg.aoi, ds_cfg.label_map, data_dir=ds_cfg.data_dir).base_path / "mean_std.json"
     if stats_path is not None and stats_path.exists() and not args.recompute_mean_std:
         dm.set_mean_std(*statistics.load_mean_std(stats_path))
     else:

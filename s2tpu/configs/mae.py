@@ -54,6 +54,9 @@ class MAETrainConfig:
     betas: tuple[float, float] = (0.9, 0.999)
 
     compute_dtype: str = "float32"
+    # Parameter storage dtype; "bfloat16" = bf16 params + f32 master copy in
+    # the optimizer state (see segmentation.TrainConfig.param_dtype).
+    param_dtype: str = "float32"
     remat: bool = False
     donate_state: bool = True
     # Sequential microbatches per optimizer update (exact for the MAE loss:

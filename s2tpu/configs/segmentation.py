@@ -87,12 +87,21 @@ class TrainConfig:
     dice_focal_focal_weight: float | None = 0.5
 
     # compilation / numerics (TPU analogue of torch.compile + precision flags)
-    compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
+    compute_dtype: str = "bfloat16"  # activations/matmul dtype
+    # Parameter STORAGE dtype. "bfloat16" keeps model params in bf16 (half the
+    # per-pass weight HBM reads, no per-step f32->bf16 casts) with an f32
+    # master copy inside the optimizer state (train_state.with_f32_master),
+    # so small Adam deltas are never rounded away. "float32" = plain storage.
+    param_dtype: str = "float32"
     remat: bool = False  # jax.checkpoint the encoder to trade FLOPs for HBM
     donate_state: bool = True  # donate train-state buffers to the jit'd step
     # Upload the packed corpus to HBM once and crop on device — per step the
     # host sends only index/offset vectors (see s2tpu/data/device_corpus.py).
     device_corpus: bool = False
+    # Shard the corpus segment axis over the 'data' mesh (corpora beyond
+    # per-chip HBM): each device holds N/D segments and contributes B/D
+    # samples per step from its own shard; multi-host holds per-host blocks.
+    device_corpus_sharded: bool = False
 
     # fc-prithvi-backbone: initialize the backbone from an s2tpu MAE
     # pretraining checkpoint directory (our own pretrain -> finetune flow)
@@ -170,7 +179,8 @@ class Config:
         """Instantiate the Flax module for ``model_name`` (factory, like get_model).
 
         ``dtype`` is the computation dtype (defaults to train.compute_dtype);
-        parameters always stay float32.
+        parameters initialize in float32 (train.param_dtype="bfloat16" makes
+        the trainer store them in bf16 with an f32 master in the optimizer).
         """
         import jax.numpy as jnp
 

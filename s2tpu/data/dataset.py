@@ -167,6 +167,45 @@ class PackedSource(SegmentSource):
         return np.asarray(self.images[indices]), np.asarray(self.labels[indices])
 
 
+def open_source(
+    aoi: str,
+    label_map: str,
+    data_dir: str | Path | None = None,
+    n_time_frames: int = 1,
+    kind: str = "auto",
+) -> SegmentSource:
+    """Open the best available source for an AOI.
+
+    kind:
+      * "auto"    — packed corpus under <data>/<aoi>/packed/<label_map> if one
+                    exists (memmap or .s2rec, detected by meta.json), else the
+                    GeoTIFF tree. Multi-temporal (T>1) always reads GeoTIFFs
+                    (packing flattens the frame grouping).
+      * "tiff" / "packed" / "records" — force one backend (raises if absent).
+    """
+    assert kind in ("auto", "tiff", "packed", "records"), kind
+    packed_dir = DataDirs(aoi=aoi, map_type=label_map, data_dir=data_dir).base_path / "packed" / label_map
+    meta_path = packed_dir / "meta.json"
+    want_packed = kind in ("auto", "packed", "records")
+    if want_packed and n_time_frames == 1 and meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        if str(meta.get("magic", "")).startswith("s2rec"):
+            if kind == "packed":
+                raise FileNotFoundError(f"{packed_dir} holds an s2rec corpus, not a memmap pack")
+            from s2tpu.data.records import RecordSource
+
+            return RecordSource(packed_dir)
+        if kind == "records":
+            raise FileNotFoundError(f"{packed_dir} holds a memmap pack, not an s2rec corpus")
+        return PackedSource(packed_dir)
+    if kind in ("packed", "records"):
+        raise FileNotFoundError(
+            f"No packed corpus under {packed_dir} — run `python -m s2tpu.cli.pack {aoi} {label_map}`"
+            + (" --format sharded" if kind == "records" else "")
+        )
+    return TiffSource(aoi, label_map, data_dir, n_time_frames=n_time_frames)
+
+
 class SubsetSource(SegmentSource):
     def __init__(self, source: SegmentSource, indices: np.ndarray) -> None:
         self.source = source

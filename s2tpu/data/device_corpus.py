@@ -13,8 +13,14 @@ relay, which caps streamed training at ~70 img/s vs the 439 img/s device
 rate) and still a latency win on local PCIe hosts.
 
 Multi-chip note: under a data mesh the corpus is replicated per device by
-default; for corpora beyond per-chip HBM, shard segments over 'data' and
-sample per-shard indices (round-robin by host) — hook left in sharding arg.
+default. ``shard=True`` instead shards the segment axis over 'data' — each
+device holds N/D segments in HBM (corpora beyond per-chip HBM), the batch is
+drawn per-shard (each device contributes B/D samples from its own segments,
+standard data-parallel input partitioning), and the crop gather runs
+shard-locally under shard_map — no cross-device segment traffic, ever.
+Under multi-host the global corpus array is assembled from each process's
+local block (jax.make_array_from_process_local_data), so per-host HBM holds
+only that host's shards.
 """
 
 from __future__ import annotations
@@ -22,8 +28,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from s2tpu.data.dataset import PackedSource, SegmentSource
+from s2tpu.parallel import mesh as mesh_lib
+
+
+def _materialize(source: SegmentSource) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(source, PackedSource):
+        return np.asarray(source.images), np.asarray(source.labels)
+    first = source[0]
+    n = len(source)
+    images = np.empty((n, *first.x.shape), np.int16)
+    labels = np.empty((n, *first.y.shape), np.uint8)
+    for i in range(n):
+        s = source[i]
+        images[i] = s.x
+        labels[i] = s.y
+    return images, labels
 
 
 class DeviceCorpus:
@@ -33,24 +55,53 @@ class DeviceCorpus:
         self,
         source: SegmentSource,
         sharding: jax.sharding.Sharding | None = None,
+        mesh: jax.sharding.Mesh | None = None,
+        shard: bool = False,
     ) -> None:
-        if isinstance(source, PackedSource):
-            images = np.asarray(source.images)
-            labels = np.asarray(source.labels)
-        else:
-            first = source[0]
-            n = len(source)
-            images = np.empty((n, *first.x.shape), np.int16)
-            labels = np.empty((n, *first.y.shape), np.uint8)
-            for i in range(n):
-                s = source[i]
-                images[i] = s.x
-                labels[i] = s.y
+        images, labels = _materialize(source)
         self.n = images.shape[0]
         self.hw = images.shape[1:3]
+        self.mesh = mesh
+        self.sharded = bool(shard and mesh is not None and mesh.shape[mesh_lib.DATA_AXIS] > 1)
+        if self.sharded:
+            d = mesh.shape[mesh_lib.DATA_AXIS]
+            # Pad N up to a multiple of D with wrap-around duplicates; the
+            # padding tail is never sampled (pools come from real ids only).
+            self.n_local = -(-self.n // d)
+            pad = self.n_local * d - self.n
+            if pad:
+                images = np.concatenate([images, images[:pad]])
+                labels = np.concatenate([labels, labels[:pad]])
+            corpus_sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+            if jax.process_count() > 1:
+                # Each process materializes only its own block on device.
+                n_local_dev = len([dv for dv in mesh.devices.flat if dv.process_index == jax.process_index()])
+                per_proc = self.n_local * n_local_dev
+                lo = jax.process_index() * per_proc
+                self.images = jax.make_array_from_process_local_data(
+                    corpus_sharding, images[lo : lo + per_proc]
+                )
+                self.labels = jax.make_array_from_process_local_data(
+                    corpus_sharding, labels[lo : lo + per_proc].astype(np.int32)
+                )
+            else:
+                self.images = jax.device_put(images, corpus_sharding)
+                self.labels = jax.device_put(labels.astype(np.int32), corpus_sharding)
+            return
+        self.n_local = self.n
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
         self.images = put(images)  # (N, H, W, C) int16 in HBM
         self.labels = put(labels.astype(np.int32))  # (N, H, W)
+
+    def shard_pools(self, train_idx: np.ndarray) -> list[np.ndarray]:
+        """Partition global train ids by owning shard -> per-shard LOCAL ids.
+
+        Shard d owns global segments [d*n_local, (d+1)*n_local).
+        """
+        assert self.sharded
+        d = self.mesh.shape[mesh_lib.DATA_AXIS]
+        owners = train_idx // self.n_local
+        return [train_idx[owners == k] % self.n_local for k in range(d)]
 
     def gather(self, idx: jax.Array, ys: jax.Array, xs: jax.Array, crop: int):
         """On-device crop gather: (B,) indices/offsets -> (B, crop, crop, C), (B, crop, crop).
@@ -86,3 +137,76 @@ def sample_crop_batch(
         ys = np.full(batch_size, (hw[0] - crop) // 2, np.int32)
         xs = np.full(batch_size, (hw[1] - crop) // 2, np.int32)
     return idx, ys, xs
+
+
+def sharded_epoch_orders(
+    rng: np.random.Generator, pools: list[np.ndarray], per_shard_bs: int, overfit_batches: int
+) -> tuple[list[np.ndarray], int]:
+    """Per-shard shuffled LOCAL-id orders + the epoch's step count.
+
+    Every device contributes exactly ``per_shard_bs`` samples per step from
+    its own segment shard; the epoch ends when the smallest pool runs dry
+    (drop-last, like the host pipeline).
+    """
+    orders = [rng.permutation(p) for p in pools]
+    n_batches = min(len(o) for o in orders) // per_shard_bs
+    if overfit_batches > 0:
+        n_batches = min(overfit_batches, max(n_batches, 1))
+        orders = [np.concatenate([o] * (per_shard_bs * n_batches // max(len(o), 1) + 1)) for o in orders]
+    return orders, n_batches
+
+
+def sample_sharded_crop_batch(
+    rng: np.random.Generator,
+    orders: list[np.ndarray],
+    step: int,
+    per_shard_bs: int,
+    hw: tuple[int, int],
+    crop: int,
+    random_crop: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One step's device-major (B,) local indices + crop offsets.
+
+    Entry k*per_shard_bs..(k+1)*per_shard_bs-1 lands on data-mesh device k
+    (the batch axis is sharded over 'data'), so each device's slice indexes
+    into its own corpus shard.
+    """
+    idx = np.concatenate(
+        [o[step * per_shard_bs : (step + 1) * per_shard_bs] for o in orders]
+    ).astype(np.int32)
+    b = len(idx)
+    if random_crop:
+        ys = rng.integers(0, hw[0] - crop + 1, size=b).astype(np.int32)
+        xs = rng.integers(0, hw[1] - crop + 1, size=b).astype(np.int32)
+    else:
+        ys = np.full(b, (hw[0] - crop) // 2, np.int32)
+        xs = np.full(b, (hw[1] - crop) // 2, np.int32)
+    return idx, ys, xs
+
+
+def sharded_gather(mesh: jax.sharding.Mesh, crop: int):
+    """Build the shard-local crop gather for a 'data'-sharded corpus.
+
+    Returns gather(corpus_images, corpus_labels, idx, ys, xs) usable inside
+    the jit'd train step: under shard_map each device dynamic-slices its own
+    (n_local, H, W, C) block with its own (B/D,) batch slice — zero
+    cross-device traffic, output batch sharded over 'data'.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    data, model = mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS
+
+    def local_gather(imgs, lbls, idx, ys, xs):
+        def one(i, y, x):
+            img = jax.lax.dynamic_slice(imgs, (i, y, x, 0), (1, crop, crop, imgs.shape[3]))[0]
+            lbl = jax.lax.dynamic_slice(lbls, (i, y, x), (1, crop, crop))[0]
+            return img, lbl
+
+        return jax.vmap(one)(idx, ys, xs)
+
+    return shard_map(
+        local_gather,
+        mesh=mesh,
+        in_specs=(P(data), P(data), P(data), P(data), P(data)),
+        out_specs=(P(data), P(data)),
+    )

@@ -56,6 +56,7 @@ def calculate_mean_std(source: SegmentSource, save_path: str | Path | None = Non
     mean, std = w.finalize()
     stats = {"mean": mean.tolist(), "std": std.tolist()}
     if save_path is not None:
+        Path(save_path).parent.mkdir(parents=True, exist_ok=True)
         Path(save_path).write_text(json.dumps(stats))
     return stats
 

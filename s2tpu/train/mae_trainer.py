@@ -25,7 +25,7 @@ from s2tpu.data.augment import augment_batch
 from s2tpu.data.pipeline import Datamodule, prefetch_to_device
 from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE, unpatchify
 from s2tpu.parallel import mesh as mesh_lib
-from s2tpu.train.train_state import TrainState, make_optimizer
+from s2tpu.train.train_state import TrainState, cast_floats, make_optimizer, with_f32_master
 from s2tpu.utils import get_logger, get_unique_run_name, load_prithvi_mean_std, load_prithvi_model_args
 
 logger = get_logger(__name__)
@@ -87,7 +87,12 @@ class MAETrainer:
         self.tx = make_optimizer(
             cfg.train.lr, cfg.train.weight_decay, cfg.train.betas
         )
+        self._mixed_params = getattr(cfg.train, "param_dtype", "float32") == "bfloat16"
+        if self._mixed_params:
+            self.tx = with_f32_master(self.tx)
         opt_state = jax.jit(self.tx.init)(params)
+        if self._mixed_params:
+            params = cast_floats(params, jnp.bfloat16)
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params, batch_stats={}, opt_state=opt_state
         )
@@ -140,16 +145,24 @@ class MAETrainer:
                     gsum, lsum = carry
                     im, i = xs
                     loss_i, grads_i = micro_grads(state.params, im, jax.random.fold_in(step_rng, i))
-                    return (jax.tree_util.tree_map(jnp.add, gsum, grads_i), lsum + loss_i), None
+                    return (
+                        jax.tree_util.tree_map(lambda a, g: a + g.astype(a.dtype), gsum, grads_i),
+                        lsum + loss_i,
+                    ), None
 
-                zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                # f32 accumulation regardless of param storage dtype.
+                zeros_g = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32) if jnp.issubdtype(p.dtype, jnp.floating) else jnp.zeros_like(p),
+                    state.params,
+                )
                 (gsum, lsum), _ = jax.lax.scan(
                     body, (zeros_g, jnp.zeros((), jnp.float32)), (imgs, jnp.arange(accum))
                 )
                 grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
                 loss = lsum / accum
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            # with_f32_master returns the new bf16 params directly.
+            new_params = updates if self._mixed_params else optax.apply_updates(state.params, updates)
             out = {"loss": loss}
             if watch:
                 from s2tpu.train.trainer import _watch_norms

@@ -5,6 +5,7 @@ from __future__ import annotations
 import typing
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import struct
 
@@ -14,6 +15,48 @@ class TrainState(struct.PyTreeNode):
     params: typing.Any
     batch_stats: typing.Any  # {} for BN-free models
     opt_state: typing.Any
+
+
+class MasterState(typing.NamedTuple):
+    """Optimizer state for `with_f32_master`: the f32 master params plus the
+    wrapped optimizer's own state (whose moments track the master)."""
+
+    master: typing.Any
+    inner: typing.Any
+
+
+def cast_floats(tree: typing.Any, dtype) -> typing.Any:
+    """Cast floating-point leaves of a pytree to `dtype` (others untouched)."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p, tree
+    )
+
+
+def with_f32_master(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Mixed-precision parameter storage: model params live in bf16 (half the
+    HBM reads per fwd/bwd pass and no per-step f32->bf16 weight casts), while
+    the optimizer walks an f32 master copy kept inside the optimizer state —
+    small Adam deltas never get rounded away by bf16's 8-bit mantissa.
+
+    CONTRACT CHANGE vs plain optax: ``update()`` returns the NEW bf16 params
+    as the "updates" pytree. Consume them directly (``new_params = updates``),
+    NOT via ``optax.apply_updates`` — re-deriving a bf16 delta and re-adding
+    it would round twice. The trainers branch on this explicitly.
+    """
+
+    def init(params):
+        master = cast_floats(params, jnp.float32)
+        return MasterState(master=master, inner=inner.init(master))
+
+    def update(grads, state, params=None):
+        g32 = cast_floats(grads, jnp.float32)
+        updates, inner_state = inner.update(g32, state.inner, state.master)
+        master = optax.apply_updates(state.master, updates)
+        template = params if params is not None else master
+        new_params = jax.tree_util.tree_map(lambda m, p: m.astype(p.dtype), master, template)
+        return new_params, MasterState(master=master, inner=inner_state)
+
+    return optax.GradientTransformation(init, update)
 
 
 def adam_l2(

@@ -32,7 +32,7 @@ from s2tpu.parallel import mesh as mesh_lib
 from s2tpu.train import metrics as metrics_lib
 from s2tpu.train.losses import make_loss_fn
 from s2tpu.train.schedules import build_schedule
-from s2tpu.train.train_state import TrainState, make_optimizer
+from s2tpu.train.train_state import TrainState, cast_floats, make_optimizer, with_f32_master
 from s2tpu.utils import get_logger, get_unique_run_name
 
 logger = get_logger(__name__)
@@ -88,6 +88,9 @@ class SegmentationTrainer:
             not self.is_prithvi and getattr(self.model.config, "packed_input_stage", False)
         )
         self.compute_dtype = _dtype_from_name(config.train.compute_dtype)
+        # bf16 param storage + f32 master copy in the optimizer state: the
+        # tx.update contract changes (it returns the new params directly).
+        self._mixed_params = getattr(config.train, "param_dtype", "float32") == "bfloat16"
         self.run_logger = run_logger
         self.ckpt = checkpoint_manager
 
@@ -128,13 +131,15 @@ class SegmentationTrainer:
         self._host_step = 0
         self.corpus = None
         if t.device_corpus:
-            assert jax.process_count() == 1, (
-                "device_corpus uploads the corpus to local HBM; use the host "
-                "pipeline (per-process input sharding) for multi-host training"
+            assert jax.process_count() == 1 or t.device_corpus_sharded, (
+                "multi-host device_corpus requires device_corpus_sharded "
+                "(per-host HBM blocks); the replicated corpus is single-process"
             )
             from s2tpu.data.device_corpus import DeviceCorpus
 
-            self.corpus = DeviceCorpus(datamodule.source)
+            self.corpus = DeviceCorpus(
+                datamodule.source, mesh=self.mesh, shard=t.device_corpus_sharded
+            )
         self.state = self._init_state()
         self._build_steps()
 
@@ -172,7 +177,14 @@ class SegmentationTrainer:
         self.tx = make_optimizer(
             self.schedule, cfg.train.weight_decay, cfg.train.betas, self._frozen_mask(params)
         )
+        if self._mixed_params:
+            # init receives the full-precision params (e.g. converted
+            # pretrained weights) so the master copy starts exact; the
+            # working params are then stored in bf16.
+            self.tx = with_f32_master(self.tx)
         opt_state = jax.jit(self.tx.init)(params)
+        if self._mixed_params:
+            params = cast_floats(params, jnp.bfloat16)
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats, opt_state=opt_state
         )
@@ -328,11 +340,16 @@ class SegmentationTrainer:
                     loss_i, grads_i, bstats, cm_i, comp_i = micro_grads(
                         state.params, bstats, im, lb, jax.random.fold_in(step_rng, i)
                     )
-                    gsum = jax.tree_util.tree_map(jnp.add, gsum, grads_i)
+                    gsum = jax.tree_util.tree_map(lambda a, g: a + g.astype(a.dtype), gsum, grads_i)
                     csum = {k: csum[k] + v for k, v in comp_i.items()}
                     return (bstats, gsum, lsum + loss_i, cmsum + cm_i, csum), None
 
-                zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                # Accumulate gradients in f32 regardless of param dtype:
+                # summing bf16 microbatch grads would lose low bits.
+                zeros_g = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32) if jnp.issubdtype(p.dtype, jnp.floating) else jnp.zeros_like(p),
+                    state.params,
+                )
                 zero_cm = jnp.zeros((num_classes, num_classes), jnp.float32)
                 _, _, _, _, comp0 = jax.eval_shape(
                     lambda: micro_grads(state.params, state.batch_stats, imgs[0], lbls[0], step_rng)
@@ -347,7 +364,9 @@ class SegmentationTrainer:
                 loss = lsum / accum
                 components = {k: v / accum for k, v in csum.items()}
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            # with_f32_master returns the new bf16 params directly (casting
+            # the f32 master once — adding a rounded bf16 delta would round twice).
+            new_params = updates if self._mixed_params else optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_stats, opt_state=new_opt
             )
@@ -373,20 +392,32 @@ class SegmentationTrainer:
             )
             return {"loss": out.total, "cm": cm}
 
-        def train_step_indexed(state, corpus_images, corpus_labels, idx, ys, xs, rng):
-            """Device-corpus step: crop gather happens on device (idx/ys/xs
-            are the only per-step host->device traffic)."""
-            crop = dm_cfg.random_crop_size
+        if self.corpus is not None and self.corpus.sharded:
+            from s2tpu.data.device_corpus import sharded_gather
 
-            def one(i, y, x):
-                img = jax.lax.dynamic_slice(
-                    corpus_images, (i, y, x, 0), (1, crop, crop, corpus_images.shape[3])
-                )[0]
-                lbl = jax.lax.dynamic_slice(corpus_labels, (i, y, x), (1, crop, crop))[0]
-                return img, lbl
+            gather = sharded_gather(self.mesh, dm_cfg.random_crop_size)
 
-            images, labels = jax.vmap(one)(idx, ys, xs)
-            return train_step(state, images, labels, rng)
+            def train_step_indexed(state, corpus_images, corpus_labels, idx, ys, xs, rng):
+                """Sharded-corpus step: each device crops from its own
+                (n_local, H, W, C) segment block under shard_map."""
+                images, labels = gather(corpus_images, corpus_labels, idx, ys, xs)
+                return train_step(state, images, labels, rng)
+        else:
+
+            def train_step_indexed(state, corpus_images, corpus_labels, idx, ys, xs, rng):
+                """Device-corpus step: crop gather happens on device (idx/ys/xs
+                are the only per-step host->device traffic)."""
+                crop = dm_cfg.random_crop_size
+
+                def one(i, y, x):
+                    img = jax.lax.dynamic_slice(
+                        corpus_images, (i, y, x, 0), (1, crop, crop, corpus_images.shape[3])
+                    )[0]
+                    lbl = jax.lax.dynamic_slice(corpus_labels, (i, y, x), (1, crop, crop))[0]
+                    return img, lbl
+
+                images, labels = jax.vmap(one)(idx, ys, xs)
+                return train_step(state, images, labels, rng)
 
         donate = ("state",) if cfg.train.donate_state else ()
         self.train_step = jax.jit(train_step, donate_argnames=donate)
@@ -417,16 +448,44 @@ class SegmentationTrainer:
         bs = cfg.datamodule.batch_size
         overfit = cfg.train.overfit_batches
         rng = epoch_rng(cfg.datamodule.shuffle_seed, epoch, overfit)
-        order, n_batches = sample_epoch_order(
-            rng, self.dm.train_idx, self.dm._sample_weights, bs, overfit
-        )
+        crop = cfg.datamodule.random_crop_size
+        random_crop = cfg.datamodule.augment and overfit == 0
+        if self.corpus.sharded:
+            from s2tpu.data.device_corpus import sample_sharded_crop_batch, sharded_epoch_orders
+
+            assert self.dm._sample_weights is None, (
+                "weighted sampling is not supported with a sharded device corpus "
+                "(per-shard draws can't follow a global per-sample distribution)"
+            )
+            d = self.mesh.shape[mesh_lib.DATA_AXIS]
+            assert bs % d == 0, (bs, d)
+            per = bs // d
+            orders, n_batches = sharded_epoch_orders(
+                rng, self.corpus.shard_pools(self.dm.train_idx), per, overfit
+            )
+            sample = lambda b: sample_sharded_crop_batch(  # noqa: E731
+                rng, orders, b, per, self.corpus.hw, crop, random_crop
+            )
+        else:
+            order, n_batches = sample_epoch_order(
+                rng, self.dm.train_idx, self.dm._sample_weights, bs, overfit
+            )
+            sample = lambda b: sample_crop_batch(  # noqa: E731
+                rng, order, b, bs, self.corpus.hw, crop, random_crop
+            )
         acc_loss, acc_cm = None, None
         t0 = time.time()
-        random_crop = cfg.datamodule.augment and overfit == 0
+        multi_proc = jax.process_count() > 1
         for b in range(n_batches):
-            idx, ys, xs = sample_crop_batch(
-                rng, order, b, bs, self.corpus.hw, cfg.datamodule.random_crop_size, random_crop
-            )
+            idx, ys, xs = sample(b)
+            if multi_proc:
+                # Same global draws everywhere; ship only our slice and
+                # assemble global (B,) index vectors over the mesh.
+                from s2tpu.parallel.multihost import local_slice, put_batch
+
+                sl = local_slice(len(idx))
+                sharding = mesh_lib.data_sharding(self.mesh)
+                idx, ys, xs = (put_batch(a[sl], sharding) for a in (idx, ys, xs))
             self.state, m = self.train_step_indexed(
                 self.state, self.corpus.images, self.corpus.labels, idx, ys, xs, self.base_rng
             )

@@ -36,6 +36,7 @@ from s2tpu.train.trainer import SegmentationTrainer
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="efficientnet-unet-b5")
+    p.add_argument("--label-map", default="osm-multiclass", help="e.g. cnes-full (24-class)")
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--segments", type=int, default=128)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -45,10 +46,10 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="s2tpu_conv_")
     make_synthetic_fixture(
-        tmp, aoi="small", label_map="osm-multiclass", n_segments=args.segments, size=(256, 256), seed=0
+        tmp, aoi="small", label_map=args.label_map, n_segments=args.segments, size=(256, 256), seed=0
     )
 
-    config = cfg_lib.base_config(args.model, aoi="small", label_map="osm-multiclass")
+    config = cfg_lib.base_config(args.model, aoi="small", label_map=args.label_map)
     config.datamodule.dataset_cfg.data_dir = tmp
     config.datamodule.batch_size = args.bs
     config.datamodule.random_crop_size = 224
@@ -58,10 +59,12 @@ def main() -> None:
     config.train.device_corpus = True
     config.train.max_epochs = args.epochs
 
-    source = TiffSource("small", "osm-multiclass", data_dir=tmp)
+    source = TiffSource("small", args.label_map, data_dir=tmp)
     packed = pack_dataset(source, Path(tmp) / "packed")
     dm = Datamodule(config.datamodule, source=packed)
-    dist = statistics.get_class_probabilities(packed, num_classes=4, ignore_zero_label=True)
+    dist = statistics.get_class_probabilities(
+        packed, num_classes=config.num_classes, ignore_zero_label=True
+    )
     config.train.class_distribution = dist.tolist()
 
     trainer = SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(1))
@@ -71,7 +74,8 @@ def main() -> None:
     best = max(history, key=lambda h: h.get("val/iou", -1.0))
     record = {
         "model": args.model,
-        "dataset": f"synthetic osm-multiclass seed0 n={args.segments} 256^2 (deterministic)",
+        "label_map": args.label_map,
+        "dataset": f"synthetic {args.label_map} seed0 n={args.segments} 256^2 (deterministic)",
         "epochs": args.epochs,
         "lr": args.lr,
         "batch_size": args.bs,
@@ -84,7 +88,18 @@ def main() -> None:
         "wall_clock_s": round(elapsed, 1),
         "backend": jax.default_backend(),
     }
-    Path(args.out).write_text(json.dumps(record, indent=2) + "\n")
+    # MIOU.json holds one anchor per (model, label_map); replace in place.
+    out = Path(args.out)
+    existing = []
+    if out.exists():
+        prev = json.loads(out.read_text())
+        existing = prev if isinstance(prev, list) else [prev]
+    key = (record["model"], record["label_map"])
+    existing = [
+        r for r in existing if (r.get("model"), r.get("label_map", "osm-multiclass")) != key
+    ]
+    existing.append(record)
+    out.write_text(json.dumps(existing, indent=2) + "\n")
     print(json.dumps(record))
 
 

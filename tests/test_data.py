@@ -153,3 +153,69 @@ def test_weighted_sampling(fixture_dir):
     dm = _dm(fixture_dir, class_distribution=dist)
     batches = list(dm.train_batches(epoch=0))
     assert len(batches) == 1  # still yields batches with replacement sampling
+
+
+# -- sharded record corpus (.s2rec) ------------------------------------------
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_sharded_records_roundtrip(source, tmp_path, compress):
+    from s2tpu.data.records import RecordSource, write_sharded_records
+
+    out = tmp_path / f"rec_{compress}"
+    rec = write_sharded_records(source, out, records_per_shard=2, compress=compress)
+    assert len(rec) == len(source)
+    # multiple shards actually exist
+    assert len(rec.meta["shards"]) == (len(source) + 1) // 2
+    for i in range(len(source)):
+        np.testing.assert_array_equal(rec[i].x, source[i].x)
+        np.testing.assert_array_equal(rec[i].y, source[i].y)
+    reopened = RecordSource(out, verify=True)
+    np.testing.assert_array_equal(reopened[len(source) - 1].x, source[len(source) - 1].x)
+    reopened.close()
+
+
+def test_sharded_records_crc_detects_corruption(source, tmp_path):
+    from s2tpu.data.records import RecordSource, write_sharded_records
+
+    out = tmp_path / "rec_corrupt"
+    write_sharded_records(source, out, records_per_shard=4, compress=False)
+    shard = out / "shard-00000.s2rec"
+    data = bytearray(shard.read_bytes())
+    data[100] ^= 0xFF
+    shard.write_bytes(bytes(data))
+    rec = RecordSource(out, verify=True)
+    with pytest.raises(IOError, match="crc mismatch"):
+        rec[0]
+    # verify=False reads through (fast path trusts the filesystem)
+    assert RecordSource(out)[0].x.shape == source[0].x.shape
+
+
+def test_open_source_auto_detection(fixture_dir, tmp_path):
+    from s2tpu.data.dataset import PackedSource, TiffSource, open_source, pack_dataset
+    from s2tpu.data.records import RecordSource, write_sharded_records
+    from s2tpu.configs.data_config import DataDirs
+
+    # no packed corpus -> tiff
+    s = open_source("small", "osm-multiclass", data_dir=fixture_dir)
+    assert isinstance(s, TiffSource)
+    # memmap pack -> PackedSource under auto
+    packed_dir = DataDirs("small", "osm-multiclass", data_dir=fixture_dir).base_path / "packed" / "osm-multiclass"
+    pack_dataset(s, packed_dir)
+    assert isinstance(open_source("small", "osm-multiclass", data_dir=fixture_dir), PackedSource)
+    # forcing records on a memmap pack raises
+    with pytest.raises(FileNotFoundError):
+        open_source("small", "osm-multiclass", data_dir=fixture_dir, kind="records")
+    # s2rec corpus -> RecordSource under auto
+    import shutil
+
+    shutil.rmtree(packed_dir)
+    write_sharded_records(s, packed_dir, records_per_shard=4)
+    assert isinstance(open_source("small", "osm-multiclass", data_dir=fixture_dir), RecordSource)
+    with pytest.raises(FileNotFoundError):
+        open_source("small", "osm-multiclass", data_dir=fixture_dir, kind="packed")
+    # T>1 always reads tiffs (packing flattens frame grouping)
+    assert isinstance(
+        open_source("small", "osm-multiclass", data_dir=fixture_dir, n_time_frames=2), TiffSource
+    )
+    shutil.rmtree(packed_dir)

@@ -62,3 +62,76 @@ def test_trainer_device_corpus_epoch(fixture_dir):
     trainer.corpus = None
     m2 = trainer.run_train_epoch(epoch=1)
     assert np.isfinite(m2["loss"])
+
+
+def test_sharded_corpus_gather_matches_source(fixture_dir):
+    """'data'-sharded corpus: shard-local gather returns the right segments
+    for device-major local indices."""
+    from s2tpu.data.device_corpus import sharded_gather
+
+    src = TiffSource("small", "osm-multiclass", data_dir=fixture_dir)
+    mesh = mesh_lib.make_mesh(2)  # data=2
+    dc = DeviceCorpus(src, mesh=mesh, shard=True)
+    assert dc.sharded and dc.n_local == 3  # 6 segments over 2 shards
+    gather = sharded_gather(mesh, crop=32)
+    # device 0 local ids {0,1} -> global {0,1}; device 1 local {0,2} -> {3,5}
+    idx = np.array([0, 1, 0, 2], np.int32)
+    ys = np.array([0, 8, 16, 0], np.int32)
+    xs = np.array([4, 0, 8, 32], np.int32)
+    imgs, lbls = jax.jit(gather)(dc.images, dc.labels, idx, ys, xs)
+    global_ids = [0, 1, 3, 5]
+    for k, g in enumerate(global_ids):
+        s = src[g]
+        np.testing.assert_array_equal(
+            np.asarray(imgs[k]), s.x[ys[k] : ys[k] + 32, xs[k] : xs[k] + 32]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lbls[k]), s.y[ys[k] : ys[k] + 32, xs[k] : xs[k] + 32]
+        )
+
+
+def test_sharded_corpus_padding_and_pools():
+    from s2tpu.data.dataset import Sample
+
+    class Src:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return Sample(
+                x=np.full((8, 8, 6), i, np.int16), y=np.full((8, 8), i % 4, np.uint8)
+            )
+
+    mesh = mesh_lib.make_mesh(4)
+    dc = DeviceCorpus(Src(10), mesh=mesh, shard=True)  # 10 -> n_local 3, pad 2
+    assert dc.n_local == 3
+    assert dc.images.shape[0] == 12
+    pools = dc.shard_pools(np.arange(10))
+    # shard 0 owns {0,1,2}, shard 3 owns only {9} (padding never appears)
+    np.testing.assert_array_equal(sorted(pools[0]), [0, 1, 2])
+    np.testing.assert_array_equal(pools[3], [0])  # global 9 -> local 0
+
+
+def test_trainer_sharded_device_corpus_epoch(fixture_dir):
+    """Full epoch over an 8-device mesh with the corpus sharded over 'data'."""
+    c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 2
+    c.datamodule.data_split = (1.0, 0.0, 0.0)
+    c.datamodule.random_crop_size = 64
+    c.train.compute_dtype = "float32"
+    c.train.device_corpus = True
+    c.train.device_corpus_sharded = True
+    dm = Datamodule(c.datamodule)
+    mesh = mesh_lib.make_mesh(2)
+    trainer = SegmentationTrainer(c, dm, mesh=mesh)
+    assert trainer.corpus.sharded
+    m = trainer.run_train_epoch(epoch=0)
+    assert np.isfinite(m["loss"])
+    # 6 segments -> pools of 3 per shard, bs 2 = 1/shard -> 3 steps
+    assert int(trainer.state.step) == 3
+    m2 = trainer.run_train_epoch(epoch=1)
+    assert np.isfinite(m2["loss"])

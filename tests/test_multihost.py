@@ -8,6 +8,7 @@ losses (state is fully replicated).
 """
 
 import json
+import os
 import socket
 import subprocess
 import sys
@@ -25,35 +26,26 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_data_parallel(tmp_path_factory):
-    # Dedicated fixture: the global batch (8 = one per device) needs more
-    # train segments than the shared 6-segment fixture provides.
-    from s2tpu.data.dataset import make_synthetic_fixture
-
-    fixture_dir = tmp_path_factory.mktemp("mh_data")
-    make_synthetic_fixture(
-        fixture_dir, aoi="small", label_map="osm-multiclass", n_segments=20, size=(96, 96)
-    )
+def _run_workers(fixture_dir, n_proc: int, mode: str) -> list[dict]:
     port = _free_port()
-    env_base = {"PYTHONPATH": str(REPO)}
-    import os
-
-    env = {**os.environ, **env_base}
+    env = {**os.environ, "PYTHONPATH": str(REPO)}
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, str(REPO / "tests" / "multihost_worker.py"), str(port), str(i), str(fixture_dir)],
+            [
+                sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+                str(port), str(i), str(fixture_dir), str(n_proc), mode,
+            ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
             text=True,
         )
-        for i in range(2)
+        for i in range(n_proc)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=1800)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
@@ -62,10 +54,55 @@ def test_two_process_data_parallel(tmp_path_factory):
         lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
         assert lines, f"no RESULT line:\n{out[-2000:]}"
         results.append(json.loads(lines[-1][len("RESULT "):]))
-    r0, r1 = sorted(results, key=lambda r: r["pid"])
-    assert r0["pid"] == 0 and r1["pid"] == 1
+    return sorted(results, key=lambda r: r["pid"])
+
+
+def _assert_agree(results: list[dict]) -> None:
     # fully-replicated state + global-batch loss => identical metrics
+    r0 = results[0]
     assert np.isfinite(r0["train_loss"])
-    np.testing.assert_allclose(r0["train_loss"], r1["train_loss"], rtol=1e-6)
-    np.testing.assert_allclose(r0["val_loss"], r1["val_loss"], rtol=1e-6)
-    np.testing.assert_allclose(r0["val_iou"], r1["val_iou"], rtol=1e-6)
+    for k, r in enumerate(results):
+        assert r["pid"] == k
+        np.testing.assert_allclose(r0["train_loss"], r["train_loss"], rtol=1e-6)
+        np.testing.assert_allclose(r0["val_loss"], r["val_loss"], rtol=1e-6)
+        np.testing.assert_allclose(r0["val_iou"], r["val_iou"], rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def mh_fixture(tmp_path_factory):
+    # Dedicated fixture: the global batch (one sample per device) needs more
+    # train segments than the shared 6-segment fixture provides.
+    from s2tpu.data.dataset import make_synthetic_fixture
+
+    # 64 segments: covers a 12-wide global batch (3 procs x 4 devices) and,
+    # for the corpus leg, puts train samples in every one of the 8 shards
+    # under the 0.5/0.5 split (seeded, deterministic).
+    fixture_dir = tmp_path_factory.mktemp("mh_data")
+    make_synthetic_fixture(
+        fixture_dir, aoi="small", label_map="osm-multiclass", n_segments=64, size=(96, 96)
+    )
+    return fixture_dir
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel(mh_fixture):
+    _assert_agree(_run_workers(mh_fixture, n_proc=2, mode="pipeline"))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("S2TPU_TEST_3PROC") != "1",
+    reason="3 simultaneous CPU workers compile for many minutes on small hosts; "
+    "set S2TPU_TEST_3PROC=1 to run (verified manually)",
+)
+def test_three_process_data_parallel(mh_fixture):
+    """Multi-slice-shaped layout: 3 processes x 4 devices (uneven vs powers
+    of two on purpose — catches process-count assumptions)."""
+    _assert_agree(_run_workers(mh_fixture, n_proc=3, mode="pipeline"))
+
+
+@pytest.mark.slow
+def test_two_process_sharded_device_corpus(mh_fixture):
+    """Each process holds only its own HBM corpus block; per-shard draws,
+    shard-local gathers, identical replicated losses."""
+    _assert_agree(_run_workers(mh_fixture, n_proc=2, mode="corpus"))

@@ -156,3 +156,76 @@ def test_dice_focal_training_step(fixture_dir):
     np.testing.assert_allclose(
         float(m["loss"]), float(m["dice"]) + float(m["focal"]), rtol=1e-5
     )
+
+
+class _ArraySource:
+    """Tiny in-memory source for dtype-policy tests."""
+
+    def __init__(self, n=8, hw=64):
+        r = np.random.default_rng(0)
+        self.images = r.integers(0, 4000, size=(n, hw, hw, 6), dtype=np.int16)
+        self.labels = r.integers(0, 4, size=(n, hw, hw)).astype(np.uint8)
+
+    def __len__(self):
+        return self.images.shape[0]
+
+    def __getitem__(self, i):
+        from s2tpu.data.dataset import Sample
+
+        return Sample(x=self.images[i], y=self.labels[i])
+
+
+def _dtype_policy_trainer(param_dtype, grad_accum=1):
+    c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    c.datamodule.batch_size = 4
+    c.datamodule.random_crop_size = 64
+    c.datamodule.data_split = (1.0, 0.0, 0.0)
+    c.train.compute_dtype = "bfloat16"
+    c.train.param_dtype = param_dtype
+    c.train.grad_accum_steps = grad_accum
+    dm = Datamodule(c.datamodule, source=_ArraySource())
+    dm.set_mean_std(np.full(6, 1500.0, np.float32), np.full(6, 900.0, np.float32))
+    return SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1))
+
+
+def test_bf16_params_with_f32_master():
+    """param_dtype=bfloat16: params stored bf16, f32 master inside the
+    optimizer state, params always the exact cast of the master, and the
+    loss trajectory tracks the f32-storage run closely."""
+    from s2tpu.train.train_state import MasterState
+
+    t32 = _dtype_policy_trainer("float32")
+    t16 = _dtype_policy_trainer("bfloat16")
+    r = np.random.default_rng(1)
+    img = r.integers(0, 4000, size=(4, 64, 64, 6), dtype=np.int16)
+    lbl = r.integers(0, 4, size=(4, 64, 64)).astype(np.int32)
+    s32, s16 = t32.state, t16.state
+    losses32, losses16 = [], []
+    for _ in range(5):
+        s32, m32 = t32.train_step(s32, img, lbl, t32.base_rng)
+        s16, m16 = t16.train_step(s16, img, lbl, t16.base_rng)
+        losses32.append(float(m32["loss"]))
+        losses16.append(float(m16["loss"]))
+    # storage dtypes
+    assert jax.tree_util.tree_leaves(s16.params)[0].dtype == jnp.bfloat16
+    assert isinstance(s16.opt_state, MasterState)
+    assert jax.tree_util.tree_leaves(s16.opt_state.master)[0].dtype == jnp.float32
+    # params are exactly the bf16 cast of the master (never drift)
+    for p, m in zip(
+        jax.tree_util.tree_leaves(s16.params), jax.tree_util.tree_leaves(s16.opt_state.master)
+    ):
+        if jnp.issubdtype(p.dtype, jnp.floating):
+            np.testing.assert_array_equal(np.asarray(p), np.asarray(m.astype(p.dtype)))
+    # same trajectory within bf16 rounding noise
+    np.testing.assert_allclose(losses16, losses32, rtol=0.02)
+
+
+def test_bf16_params_grad_accum_f32_accumulation():
+    """Gradient accumulation under bf16 params sums microbatch grads in f32."""
+    t = _dtype_policy_trainer("bfloat16", grad_accum=2)
+    r = np.random.default_rng(2)
+    img = r.integers(0, 4000, size=(4, 64, 64, 6), dtype=np.int16)
+    lbl = r.integers(0, 4, size=(4, 64, 64)).astype(np.int32)
+    state, m = t.train_step(t.state, img, lbl, t.base_rng)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
