@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--watch-interval", type=int, default=None,
         help="grad/param-norm logging every N steps (0 disables; default 30)",
     )
+    p.add_argument(
+        "--bn-recal", type=int, default=None,
+        help="pool exact BN statistics over N train batches before each val "
+        "pass (short runs: the 0.99 BN EMA needs hundreds of steps to converge)",
+    )
     p.add_argument("--recompute-mean-std", action="store_true")
     p.add_argument("--focal-loss-gamma", type=float, default=None)
     p.add_argument("--weighted-loss", action="store_true")
@@ -104,6 +109,9 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     t.max_epochs = args.epochs or t.max_epochs
     t.log_interval = args.log_interval or t.log_interval
     t.watch_interval = args.watch_interval if args.watch_interval is not None else t.watch_interval
+    t.bn_recalibration_batches = (
+        args.bn_recal if args.bn_recal is not None else t.bn_recalibration_batches
+    )
     t.use_wandb_logger = False if args.wandb else t.use_wandb_logger
     t.tags.extend(args.tags)
     t.num_devices = args.num_devices

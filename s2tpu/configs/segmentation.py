@@ -102,6 +102,11 @@ class TrainConfig:
     # per-chip HBM): each device holds N/D segments and contributes B/D
     # samples per step from its own shard; multi-host holds per-host blocks.
     device_corpus_sharded: bool = False
+    # When > 0, replace BN running statistics with exact statistics pooled
+    # over this many train batches before each validation pass
+    # (trainer.recalibrate_bn). Essential for short runs: the encoder's
+    # 0.99 BN EMA (reference parity) needs hundreds of steps to converge.
+    bn_recalibration_batches: int = 0
 
     # fc-prithvi-backbone: initialize the backbone from an s2tpu MAE
     # pretraining checkpoint directory (our own pretrain -> finetune flow)

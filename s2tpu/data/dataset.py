@@ -269,9 +269,14 @@ def make_synthetic_fixture(
         write_geotiff(data_dirs.label / f"{seg}.tif", labels, geo=geo)
         for t in range(n_time):
             img = np.zeros((6, h, w), dtype=np.float64)
+            # Per-class DN step: 600/(K-1) for few classes (unchanged golden
+            # trajectories), floored at 120 so many-class maps (e.g. 24-class
+            # cnes-full) stay learnable against the noise (sigma=40) instead
+            # of collapsing adjacent classes below 1 sigma.
+            step = max(600.0 / max(1, num_classes - 1), 120.0)
             for band in range(6):
                 base = 400.0 + 350.0 * band
-                img[band] = base + 600.0 * (labels.astype(np.float64) / max(1, num_classes - 1))
+                img[band] = base + step * labels.astype(np.float64)
                 img[band] += rng.normal(0, 40.0, size=(h, w))
             write_geotiff(data_dirs.sentinel / f"{seg}_{t}.tif", img.astype(np.int16), geo=geo)
     return data_dirs

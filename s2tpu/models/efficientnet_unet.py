@@ -111,6 +111,14 @@ class EfficientNetUNetConfig:
     width_coefficient: float | None = None
     depth_coefficient: float | None = None
     concat_input: bool = True
+    # Decoder BatchNorm EMA decay. The reference decoder uses torch
+    # nn.BatchNorm2d defaults (momentum=0.1 == flax decay 0.9, reference
+    # efficientnet_unet.py:168-176), unlike the encoder's EfficientNet 0.99.
+    decoder_bn_momentum: float = 0.9
+    # When set, every BN (encoder + decoder) uses this EMA decay instead —
+    # 0.0 makes running stats equal the current batch's exact statistics,
+    # which is what the BN-recalibration pass uses (trainer.recalibrate_bn).
+    bn_momentum_override: float | None = None
     # Run the full-resolution input-concat stage in a space-to-depth packed
     # layout (112^2 x 4C instead of 224^2 x C): with <=38 channels the
     # channels-last tensors pad to 128 TPU lanes, wasting ~4x memory
@@ -137,6 +145,18 @@ class EfficientNetUNetConfig:
             self.width_coefficient or w,
             self.depth_coefficient or d,
             self.dropout_rate or drop,
+        )
+
+    @property
+    def enc_bn_momentum(self) -> float:
+        return self.bn_momentum if self.bn_momentum_override is None else self.bn_momentum_override
+
+    @property
+    def dec_bn_momentum(self) -> float:
+        return (
+            self.decoder_bn_momentum
+            if self.bn_momentum_override is None
+            else self.bn_momentum_override
         )
 
 
@@ -446,13 +466,13 @@ class EfficientNetEncoder(nn.Module):
             name="stem_conv",
         )
         self.stem_bn = nn.BatchNorm(
-            momentum=cfg.bn_momentum, epsilon=cfg.bn_epsilon, dtype=self.dtype, name="stem_bn"
+            momentum=cfg.enc_bn_momentum, epsilon=cfg.bn_epsilon, dtype=self.dtype, name="stem_bn"
         )
         n = len(self._specs)
         self.blocks = [
             MBConv(
                 spec=s,
-                bn_momentum=cfg.bn_momentum,
+                bn_momentum=cfg.enc_bn_momentum,
                 bn_epsilon=cfg.bn_epsilon,
                 drop_rate=(cfg.drop_connect_rate or 0.0) * i / n,
                 dtype=self.dtype,
@@ -464,7 +484,7 @@ class EfficientNetEncoder(nn.Module):
             self.head_filters, use_bias=False, kernel_init=conv_init, dtype=self.dtype, name="head_conv"
         )
         self.head_bn = nn.BatchNorm(
-            momentum=cfg.bn_momentum, epsilon=cfg.bn_epsilon, dtype=self.dtype, name="head_bn"
+            momentum=cfg.enc_bn_momentum, epsilon=cfg.bn_epsilon, dtype=self.dtype, name="head_bn"
         )
         self.dropout = nn.Dropout(rate=dropout)
         self.fc = nn.Dense(cfg.num_classes, kernel_init=dense_init, name="fc")
@@ -530,6 +550,9 @@ class EfficientNetEncoder(nn.Module):
 class DoubleConv(nn.Module):
     features: int
     dtype: typing.Any = jnp.float32
+    # torch nn.BatchNorm2d default momentum=0.1 == flax decay 0.9 (reference
+    # _double_conv, efficientnet_unet.py:168-176).
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -537,7 +560,9 @@ class DoubleConv(nn.Module):
             x = nn.Conv(
                 self.features, (3, 3), padding="SAME", kernel_init=conv_init, dtype=self.dtype, name=f"conv{i}"
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"bn{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=self.bn_momentum, dtype=self.dtype, name=f"bn{i}"
+            )(x)
             x = nn.relu(x)
         return x
 
@@ -656,6 +681,7 @@ class PackedDoubleConv(nn.Module):
     features: int
     in_features: int
     dtype: typing.Any = jnp.float32
+    bn_momentum: float = 0.9  # decoder default (see DoubleConv)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -673,7 +699,9 @@ class PackedDoubleConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             y = y.reshape(b, h, w, 4, self.features) + bias.astype(self.dtype)
-            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"bn{i}")(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=self.bn_momentum, dtype=self.dtype, name=f"bn{i}"
+            )(y)
             x = nn.relu(y)
             cin = self.features
         return x
@@ -699,7 +727,8 @@ class EfficientNetUNet(nn.Module):
         skip4 = (skip if skip.ndim == 5 else _pack_s2d(skip)).astype(y.dtype)
         y4 = jnp.concatenate([y4, skip4], axis=-1)
         return PackedDoubleConv(
-            feats, feats + skip.shape[-1], dtype=self.dtype, name=dc_name
+            feats, feats + skip.shape[-1], dtype=self.dtype,
+            bn_momentum=self.config.dec_bn_momentum, name=dc_name,
         )(y4, train=train)
 
     @nn.compact
@@ -741,7 +770,9 @@ class EfficientNetUNet(nn.Module):
                 feats, (2, 2), strides=(2, 2), kernel_init=conv_init, dtype=self.dtype, name=f"up_conv{i}"
             )(y)
             y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
-            y = DoubleConv(feats, dtype=self.dtype, name=f"double_conv{i}")(y, train=train)
+            y = DoubleConv(
+                feats, dtype=self.dtype, bn_momentum=cfg.dec_bn_momentum, name=f"double_conv{i}"
+            )(y, train=train)
         classifier = nn.Dense(
             cfg.num_classes,
             kernel_init=conv_init,
@@ -763,6 +794,8 @@ class EfficientNetUNet(nn.Module):
                 32, (2, 2), strides=(2, 2), kernel_init=conv_init, dtype=self.dtype, name="input_up_conv"
             )(y)
             y = jnp.concatenate([y, identity.astype(y.dtype)], axis=-1)
-            y = DoubleConv(32, dtype=self.dtype, name="input_double_conv")(y, train=train)
+            y = DoubleConv(
+                32, dtype=self.dtype, bn_momentum=cfg.dec_bn_momentum, name="input_double_conv"
+            )(y, train=train)
         # Classifier in f32: logits feed the loss, keep them full precision.
         return classifier(y.astype(jnp.float32))

@@ -88,7 +88,11 @@ class FCNHead(nn.Module):
                 self.out_channels, (3, 3), padding="SAME", kernel_init=conv_init, dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"bn{i}")(x)
+            # torch nn.BatchNorm2d default momentum=0.1 == flax decay 0.9
+            # (reference prithvi_segmentation.py FCNHead).
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype, name=f"bn{i}"
+            )(x)
             x = nn.relu(x)
         x = nn.Dropout(rate=self.dropout)(x, deterministic=not train)
         return nn.Conv(

@@ -42,6 +42,28 @@ def _dtype_from_name(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
 
 
+def pool_batch_stats(stats_list: list) -> dict:
+    """Pool per-batch exact BN statistics (equal-size batches) into one tree:
+    E[x] = mean of batch means, Var[x] = mean of (var + mean^2) - E[x]^2."""
+
+    def rec(nodes):
+        first = nodes[0]
+        if isinstance(first, dict) and set(first) >= {"mean", "var"}:
+            m = sum(n["mean"].astype(np.float64) for n in nodes) / len(nodes)
+            ex2 = sum(
+                n["var"].astype(np.float64) + n["mean"].astype(np.float64) ** 2 for n in nodes
+            ) / len(nodes)
+            out = dict(first)
+            out["mean"] = m.astype(first["mean"].dtype)
+            out["var"] = np.maximum(ex2 - m * m, 0.0).astype(first["var"].dtype)
+            return out
+        if isinstance(first, dict):
+            return {k: rec([n[k] for n in nodes]) for k in first}
+        return first
+
+    return rec(stats_list)
+
+
 def _watch_norms(grads, params) -> dict:
     """Per-layer gradient/parameter L2 norms plus the global norms, computed
     inside the jit'd step (the TPU equivalent of the reference's
@@ -547,6 +569,59 @@ class SegmentationTrainer:
             {k: float(v) for k, v in step_metrics["watch"].items()}, step=self._host_step
         )
 
+    def recalibrate_bn(self, n_batches: int = 8) -> None:
+        """Replace BN running statistics with exact statistics pooled over
+        ``n_batches`` train batches (forward passes only; params untouched).
+
+        The EfficientNet encoder keeps the reference's 0.99 BN EMA decay,
+        which needs hundreds of optimizer steps to converge; short runs
+        otherwise evaluate through biased running stats whose error
+        compounds multiplicatively through BN depth (measured: a model at
+        0.80 val IoU under batch stats scored 0.008 under its unconverged
+        running stats). This is the standard recalibration pass (cf.
+        torch.optim.swa_utils.update_bn) — the reference has no equivalent.
+
+        Pooling is exact for equal-size batches: E[x] = mean of batch means,
+        Var[x] = mean of (var + mean^2) - E[x]^2.
+        """
+        if not self.state.batch_stats:
+            return  # BN-free model (ViT)
+        if not hasattr(self.model.config, "bn_momentum_override"):
+            logger.warning("recalibrate_bn: model config has no bn_momentum_override; skipping")
+            return
+        if jax.process_count() > 1:
+            logger.warning("recalibrate_bn pools process-local batches; skipping under multi-host")
+            return
+        import dataclasses
+        import itertools
+
+        cfg0 = dataclasses.replace(self.model.config, bn_momentum_override=0.0)
+        model0 = type(self.model)(cfg0, dtype=self.compute_dtype)
+
+        @jax.jit
+        def exact_stats(params, batch_stats, images):
+            x, _ = augment_batch(
+                images, None, jax.random.key(0), self.mean, self.std,
+                dtype=self.compute_dtype, train=False, s2d=self._s2d_input,
+            )
+            x = self._model_input(x)
+            _, mutated = model0.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"], rngs={"dropout": jax.random.key(0)},
+            )
+            return mutated["batch_stats"]
+
+        stats_list = [
+            jax.tree_util.tree_map(
+                np.asarray, exact_stats(self.state.params, self.state.batch_stats, b.images)
+            )
+            for b in itertools.islice(self.dm.train_batches(epoch=0), n_batches)
+        ]
+        if not stats_list:
+            return
+        pooled = jax.device_put(pool_batch_stats(stats_list), mesh_lib.replicated(self.mesh))
+        self.state = self.state.replace(batch_stats=pooled)
+
     def run_eval_epoch(self, split: str = "val") -> dict:
         acc = metrics_lib.MetricAccumulator(self.config.num_classes)
         it = prefetch_to_device(
@@ -582,6 +657,8 @@ class SegmentationTrainer:
         history: list[dict] = []
         for epoch in range(start_epoch, max_epochs):
             train_metrics = self.run_train_epoch(epoch)
+            if cfg.train.bn_recalibration_batches > 0 and len(self.dm.val_idx):
+                self.recalibrate_bn(cfg.train.bn_recalibration_batches)
             val_metrics = self.run_eval_epoch("val") if len(self.dm.val_idx) else {}
             record = {
                 "epoch": epoch,

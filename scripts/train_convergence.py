@@ -58,6 +58,9 @@ def main() -> None:
     config.train.lr = args.lr
     config.train.device_corpus = True
     config.train.max_epochs = args.epochs
+    # Short run: pool exact BN stats before each val pass (the encoder's
+    # 0.99 BN EMA needs hundreds of steps to converge on its own).
+    config.train.bn_recalibration_batches = 3
 
     source = TiffSource("small", args.label_map, data_dir=tmp)
     packed = pack_dataset(source, Path(tmp) / "packed")

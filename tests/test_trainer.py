@@ -229,3 +229,50 @@ def test_bf16_params_grad_accum_f32_accumulation():
     state, m = t.train_step(t.state, img, lbl, t.base_rng)
     assert np.isfinite(float(m["loss"]))
     assert int(state.step) == 1
+
+
+def test_pool_batch_stats_exact():
+    """Pooling math: E[x] / Var[x] over the union of equal-size batches."""
+    from s2tpu.train.trainer import pool_batch_stats
+
+    rng = np.random.default_rng(0)
+    d1 = rng.normal(2.0, 3.0, size=(64, 5)).astype(np.float32)
+    d2 = rng.normal(-1.0, 0.5, size=(64, 5)).astype(np.float32)
+    stats = [
+        {"bn": {"mean": d.mean(0), "var": d.var(0)}} for d in (d1, d2)
+    ]
+    pooled = pool_batch_stats(stats)
+    union = np.concatenate([d1, d2])
+    np.testing.assert_allclose(pooled["bn"]["mean"], union.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(pooled["bn"]["var"], union.var(0), rtol=1e-4)
+
+
+def test_recalibrate_bn_replaces_running_stats():
+    """recalibrate_bn swaps EMA stats for exact pooled stats; eval still runs."""
+    t = _dtype_policy_trainer("float32")
+    r = np.random.default_rng(3)
+    img = r.integers(0, 4000, size=(4, 64, 64, 6), dtype=np.int16)
+    lbl = r.integers(0, 4, size=(4, 64, 64)).astype(np.int32)
+    state = t.state
+    for _ in range(3):
+        state, _ = t.train_step(state, img, lbl, t.base_rng)
+    t.state = state
+    before = jax.tree_util.tree_leaves(t.state.batch_stats)[1]
+    t.recalibrate_bn(n_batches=2)
+    after_tree = t.state.batch_stats
+    after = jax.tree_util.tree_leaves(after_tree)[1]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    for leaf in jax.tree_util.tree_leaves(after_tree):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # vars are nonnegative
+    def vars_of(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                if "var" in v and not isinstance(v["var"], dict):
+                    yield v["var"]
+                else:
+                    yield from vars_of(v)
+    for v in vars_of(after_tree):
+        assert (np.asarray(v) >= 0).all()
+    m = t.eval_step(t.state, img, lbl, np.ones(4, np.float32))
+    assert np.isfinite(float(m["loss"]))
