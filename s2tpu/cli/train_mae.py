@@ -33,6 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--log-interval", type=int, default=None)
     p.add_argument("--num-frames", type=int, default=None)
+    p.add_argument("--crop", type=int, default=None, help="training crop size (/16; default 224)")
     p.add_argument("--mask-ratio", type=float, default=None)
     p.add_argument("--name", default=None)
     p.add_argument("--wandb", action="store_true", help="DISABLE wandb logging")
@@ -42,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--grad-accum", type=int, default=None, help="microbatches per optimizer update")
+    p.add_argument(
+        "--device-corpus", action="store_true",
+        help="upload the unlabeled corpus to HBM once; crop on device",
+    )
     p.add_argument(
         "--resume-from", default=None,
         help="checkpoint dir of a previous run — restores latest state and continues",
@@ -62,6 +67,9 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
     t, dmc = config.train, config.datamodule
     dmc.dataset_cfg.data_dir = args.data_dir or dmc.dataset_cfg.data_dir
     dmc.batch_size = args.bs or dmc.batch_size
+    if args.crop:
+        assert args.crop % 16 == 0, f"--crop must be a multiple of the ViT patch size 16, got {args.crop}"
+        dmc.random_crop_size = args.crop
     t.from_scratch = args.from_scratch or t.from_scratch
     t.lr = args.lr or t.lr
     t.max_epochs = args.epochs or t.max_epochs
@@ -71,6 +79,7 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
     t.tags.extend(args.tags)
     t.seed = args.seed if args.seed is not None else t.seed
     t.grad_accum_steps = args.grad_accum or t.grad_accum_steps
+    t.device_corpus = args.device_corpus or t.device_corpus
     if args.num_frames:
         config.model.num_frames = args.num_frames
         dmc.dataset_cfg.n_time_frames = args.num_frames

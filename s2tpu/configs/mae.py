@@ -69,6 +69,11 @@ class MAETrainConfig:
     log_interval: int = 50
     num_devices: int = -1
     overfit_batches: int = 0
+    # Upload the (unlabeled) corpus to HBM once; per step the host sends only
+    # index/offset vectors (see s2tpu/data/device_corpus.py). Decisive on
+    # slow host->device links: the MAE host pipeline measured ~60 img/s
+    # through this environment's relay vs ~970 img/s device rate.
+    device_corpus: bool = False
 
     use_wandb_logger: bool = True
     project_name: str = "prithvi-mae-finetune"

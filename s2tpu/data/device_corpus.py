@@ -57,6 +57,7 @@ class DeviceCorpus:
         sharding: jax.sharding.Sharding | None = None,
         mesh: jax.sharding.Mesh | None = None,
         shard: bool = False,
+        with_labels: bool = True,  # False skips the label upload (MAE corpora)
     ) -> None:
         images, labels = _materialize(source)
         self.n = images.shape[0]
@@ -81,17 +82,23 @@ class DeviceCorpus:
                 self.images = jax.make_array_from_process_local_data(
                     corpus_sharding, images[lo : lo + per_proc]
                 )
-                self.labels = jax.make_array_from_process_local_data(
-                    corpus_sharding, labels[lo : lo + per_proc].astype(np.int32)
+                self.labels = (
+                    jax.make_array_from_process_local_data(
+                        corpus_sharding, labels[lo : lo + per_proc].astype(np.int32)
+                    )
+                    if with_labels
+                    else None
                 )
             else:
                 self.images = jax.device_put(images, corpus_sharding)
-                self.labels = jax.device_put(labels.astype(np.int32), corpus_sharding)
+                self.labels = (
+                    jax.device_put(labels.astype(np.int32), corpus_sharding) if with_labels else None
+                )
             return
         self.n_local = self.n
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
         self.images = put(images)  # (N, H, W, C) int16 in HBM
-        self.labels = put(labels.astype(np.int32))  # (N, H, W)
+        self.labels = put(labels.astype(np.int32)) if with_labels else None  # (N, H, W)
 
     def shard_pools(self, train_idx: np.ndarray) -> list[np.ndarray]:
         """Partition global train ids by owning shard -> per-shard LOCAL ids.

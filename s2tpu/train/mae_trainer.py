@@ -51,8 +51,13 @@ class MAETrainer:
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.train.compute_dtype]
 
         if model_config is None:
+            # Non-224 crops resize the token grid; sincos pos-embeds are
+            # regenerated for the runtime size (reference utils.py:62-96
+            # does the same surgery when num_frames changes).
             model_config = PrithviConfig.from_model_args(
-                load_prithvi_model_args(), num_frames=config.model.num_frames
+                load_prithvi_model_args(),
+                num_frames=config.model.num_frames,
+                img_size=config.datamodule.random_crop_size,
             )
         self.model = PrithviMAE(model_config, dtype=dtype)
         self.model_config = model_config
@@ -64,6 +69,16 @@ class MAETrainer:
 
         self.base_rng = jax.random.key(config.train.seed)
         self._host_step = 0  # host mirror of state.step (watch gating, no sync)
+        self.corpus = None
+        if getattr(config.train, "device_corpus", False):
+            assert jax.process_count() == 1, (
+                "MAE device_corpus is single-process (use the host pipeline "
+                "with per-process input sharding for multi-host)"
+            )
+            from s2tpu.data.device_corpus import DeviceCorpus
+
+            # Unlabeled corpus: skip the label upload entirely.
+            self.corpus = DeviceCorpus(datamodule.source, with_labels=False)
         self.state = self._init_state()
         self._build_steps()
 
@@ -197,8 +212,22 @@ class MAETrainer:
             per_ok = batch_mask.astype(jnp.float32)
             return {"loss": loss, "weight": per_ok.mean(), "pred": pred, "mask": mask}
 
+        def train_step_indexed(state, corpus_images, idx, ys, xs, rng):
+            """Device-corpus step: the on-device crop gather makes idx/ys/xs
+            the only per-step host->device traffic (unlabeled corpus)."""
+            crop = dm_cfg.random_crop_size
+
+            def one(i, y, x):
+                return jax.lax.dynamic_slice(
+                    corpus_images, (i, y, x, 0), (1, crop, crop, corpus_images.shape[3])
+                )[0]
+
+            images = jax.vmap(one)(idx, ys, xs)
+            return train_step(state, images, rng)
+
         donate = ("state",) if cfg.train.donate_state else ()
         self.train_step = jax.jit(train_step, donate_argnames=donate)
+        self.train_step_indexed = jax.jit(train_step_indexed, donate_argnames=donate)
         self.eval_step = jax.jit(eval_step)
 
     def reconstruct(self, images) -> np.ndarray:
@@ -220,17 +249,39 @@ class MAETrainer:
         cfg = self.config
         acc, n, images_seen = None, 0, 0
         t0 = time.time()
-        it = prefetch_to_device(
-            self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches),
-            sharding=mesh_lib.data_sharding(self.mesh),
-            depth=cfg.datamodule.prefetch,
-        )
         wi = cfg.train.watch_interval
-        for batch in it:
-            self.state, m = self.train_step(self.state, batch.images, self.base_rng)
+        if self.corpus is not None:
+            from s2tpu.data.device_corpus import sample_crop_batch
+            from s2tpu.data.pipeline import epoch_rng, sample_epoch_order
+
+            bs = cfg.datamodule.batch_size
+            overfit = cfg.train.overfit_batches
+            rng = epoch_rng(cfg.datamodule.shuffle_seed, epoch, overfit)
+            order, n_batches = sample_epoch_order(rng, self.dm.train_idx, None, bs, overfit)
+            random_crop = cfg.datamodule.augment and overfit == 0
+            batches = (
+                sample_crop_batch(
+                    rng, order, b, bs, self.corpus.hw, cfg.datamodule.random_crop_size, random_crop
+                )
+                for b in range(n_batches)
+            )
+            step = lambda b: self.train_step_indexed(  # noqa: E731
+                self.state, self.corpus.images, *b, self.base_rng
+            )
+            batch_size_of = lambda b: len(b[0])  # noqa: E731
+        else:
+            batches = prefetch_to_device(
+                self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches),
+                sharding=mesh_lib.data_sharding(self.mesh),
+                depth=cfg.datamodule.prefetch,
+            )
+            step = lambda b: self.train_step(self.state, b.images, self.base_rng)  # noqa: E731
+            batch_size_of = lambda b: b.images.shape[0]  # noqa: E731
+        for batch in batches:
+            self.state, m = step(batch)
             acc = m["loss"] if acc is None else acc + m["loss"]
             n += 1
-            images_seen += batch.images.shape[0]
+            images_seen += batch_size_of(batch)
             self._host_step += 1
             if (
                 self.run_logger is not None and wi > 0

@@ -41,8 +41,15 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--mae-epochs", type=int, default=60)
     p.add_argument("--seg-epochs", type=int, default=40)
+    # Head+neck-only training over a few hundred steps needs a real LR; the
+    # reference's 1.5e-6 base is a full-finetune setting for long runs.
+    p.add_argument("--seg-lr", type=float, default=1e-3)
     p.add_argument("--segments", type=int, default=128)
     p.add_argument("--with-random-baseline", action="store_true")
+    p.add_argument(
+        "--mae-ckpt", default=None,
+        help="skip pretraining and finetune from this existing MAE checkpoint dir",
+    )
     p.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "MIOU.json"))
     args = p.parse_args()
 
@@ -52,22 +59,43 @@ def main() -> None:
     )
 
     # ---- stage 1: MAE pretrain from scratch on the unlabeled corpus -------
-    mcfg = mae_cfg.pretrain(mae_cfg.base_config(aoi="small"))
-    mcfg.datamodule.dataset_cfg.data_dir = tmp
-    mcfg.datamodule.batch_size = 32
-    mcfg.datamodule.random_crop_size = 224
-    mcfg.datamodule.data_split = (0.9, 0.1, 0.0)
-    mcfg.train.compute_dtype = "bfloat16"
-    mcfg.train.from_scratch = True
-    mae_source = TiffSource("small", "osm-multiclass", data_dir=tmp, require_labels=False)
-    mae_dm = Datamodule(mcfg.datamodule, source=mae_source)
-    ckpt_dir = Path(tmp) / "mae_ckpt"
-    mae_ckpt = CheckpointManager(ckpt_dir, keep=1)
-    mae_tr = MAETrainer(mcfg, mae_dm, mesh=mesh_lib.make_mesh(1), checkpoint_manager=mae_ckpt)
-    t0 = time.time()
-    mae_hist = mae_tr.fit(epochs=args.mae_epochs)
-    mae_ckpt.wait()
-    mae_s = time.time() - t0
+    if args.mae_ckpt:
+        ckpt_dir = Path(args.mae_ckpt)
+        mae_hist, mae_s = [{"train/loss": float("nan")}], 0.0
+    else:
+        mcfg = mae_cfg.pretrain(mae_cfg.base_config(aoi="small"))
+        mcfg.datamodule.dataset_cfg.data_dir = tmp
+        mcfg.datamodule.batch_size = 32
+        mcfg.datamodule.random_crop_size = 224
+        mcfg.datamodule.data_split = (0.9, 0.1, 0.0)
+        mcfg.train.compute_dtype = "bfloat16"
+        mcfg.train.from_scratch = True
+        mcfg.train.device_corpus = True  # index-only steps (relay is ~40 MB/s)
+        mae_source = TiffSource("small", "osm-multiclass", data_dir=tmp, require_labels=False)
+        # The generic Datamodule consumes the segmentation DatamoduleConfig;
+        # mirror the train_mae CLI's construction from the MAE config fields.
+        mae_dm = Datamodule(
+            cfg_lib.DatamoduleConfig(
+                dataset_cfg=cfg_lib.DatasetConfig(
+                    aoi="small", label_map="osm-multiclass", data_dir=tmp
+                ),
+                batch_size=mcfg.datamodule.batch_size,
+                data_split=mcfg.datamodule.data_split,
+                val_batch_size_multiplier=mcfg.datamodule.val_batch_size_multiplier,
+                augment=mcfg.datamodule.augment,
+                random_crop_size=mcfg.datamodule.random_crop_size,
+                prefetch=mcfg.datamodule.prefetch,
+                shuffle_seed=mcfg.datamodule.shuffle_seed,
+            ),
+            source=mae_source,
+        )
+        ckpt_dir = Path(tmp) / "mae_ckpt"
+        mae_ckpt = CheckpointManager(ckpt_dir, keep=1)
+        mae_tr = MAETrainer(mcfg, mae_dm, mesh=mesh_lib.make_mesh(1), checkpoint_manager=mae_ckpt)
+        t0 = time.time()
+        mae_hist = mae_tr.fit(epochs=args.mae_epochs)
+        mae_ckpt.wait()
+        mae_s = time.time() - t0
 
     # ---- stage 2: frozen-backbone finetune from the MAE checkpoint --------
     def finetune(backbone_ckpt: str | None) -> dict:
@@ -77,6 +105,7 @@ def main() -> None:
         c.datamodule.random_crop_size = 224
         c.datamodule.data_split = (0.75, 0.25, 0.0)
         c.train.compute_dtype = "bfloat16"
+        c.train.lr = args.seg_lr
         c.train.backbone_ckpt = backbone_ckpt
         # (no BN recalibration: the FCN head's decay-0.9 BNs converge in
         # ~25 steps; the ViT backbone is LayerNorm-only)

@@ -164,3 +164,33 @@ def test_mae_resume_from_checkpoint(fixture_dir, tmp_path):
     start = trainer2.resume_from_checkpoint()
     assert start == 1
     assert int(trainer2.state.step) == int(trainer.state.step)
+
+
+def test_mae_device_corpus_epoch(fixture_dir):
+    """MAE device-corpus mode: unlabeled corpus in HBM (no label upload),
+    index-only train steps, same loss trajectory shape as the host pipeline."""
+    c = mae_cfg.base_config(aoi="small")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 2
+    c.datamodule.random_crop_size = 32
+    c.datamodule.data_split = (1.0, 0.0, 0.0)
+    c.train.from_scratch = True
+    c.train.lr = 1e-3
+    c.train.device_corpus = True
+    source = TiffSource("small", "osm-multiclass", data_dir=fixture_dir, require_labels=False)
+    dm = Datamodule(
+        DatamoduleConfig(
+            dataset_cfg=DatasetConfig(aoi="small", label_map="osm-multiclass", data_dir=str(fixture_dir)),
+            batch_size=2,
+            data_split=(1.0, 0.0, 0.0),
+            random_crop_size=32,
+        ),
+        source=source,
+    )
+    trainer = MAETrainer(c, dm, mesh=mesh_lib.make_mesh(1), model_config=TINY)
+    assert trainer.corpus is not None and trainer.corpus.labels is None
+    m = trainer.run_train_epoch(epoch=0)
+    assert np.isfinite(m["loss"])
+    assert int(trainer.state.step) == 3  # 6 samples, bs 2
+    m2 = trainer.run_train_epoch(epoch=1)
+    assert np.isfinite(m2["loss"])
