@@ -92,8 +92,8 @@ def test_two_process_data_parallel(mh_fixture):
 @pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("S2TPU_TEST_3PROC") != "1",
-    reason="3 simultaneous CPU workers compile for many minutes on small hosts; "
-    "set S2TPU_TEST_3PROC=1 to run (verified manually)",
+    reason="3 simultaneous CPU workers compile for >15 min on small hosts; "
+    "set S2TPU_TEST_3PROC=1 to run",
 )
 def test_three_process_data_parallel(mh_fixture):
     """Multi-slice-shaped layout: 3 processes x 4 devices (uneven vs powers
