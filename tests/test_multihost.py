@@ -92,7 +92,8 @@ def test_two_process_data_parallel(mh_fixture):
 @pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("S2TPU_TEST_3PROC") != "1",
-    reason="3 simultaneous CPU workers compile for >15 min on small hosts; "
+    reason="3 simultaneous CPU workers need an idle host (passes in ~8 min "
+    "alone on a 1-core box, times out under a concurrently running suite); "
     "set S2TPU_TEST_3PROC=1 to run",
 )
 def test_three_process_data_parallel(mh_fixture):
