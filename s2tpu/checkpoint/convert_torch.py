@@ -310,6 +310,62 @@ def load_reference_unet_weights(
     )
 
 
+def convert_reference_prithvi_seg_state_dict(state_dict: dict) -> tuple[dict, dict]:
+    """Reference ``PrithviSegmentationNet.state_dict()`` -> (params, batch_stats)
+    for s2tpu PrithviSegmentationNet — the finetuned-checkpoint compatibility
+    path (reference prithvi_segmentation.py:23-162).
+
+    Lightning checkpoints prefix keys with ``net.`` (stripped here). Mapping:
+      * ``backbone.*``  -> the MAE encoder via convert_prithvi_state_dict
+        (pos embeds skipped: both sides regenerate sincos for the runtime
+        num_frames — reference utils.py:84-93);
+      * ``neck.feature_pyramid_net.{0,3,4,7}`` ConvTranspose2d k2s2 ->
+        up0..up3 (spatially-flipped HWIO); ``{1,5}.ln`` Norm2d -> ln0/ln1;
+      * ``head.net.{3i,3i+1}`` conv3x3+BN2d pairs -> conv{i}/bn{i};
+        ``head.net.{3n+1}`` final 1x1 -> classifier.
+    """
+    sd = {k[4:] if k.startswith("net.") else k: v for k, v in state_dict.items()}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")}
+    params: dict[str, typing.Any] = {
+        "backbone": convert_prithvi_state_dict(backbone_sd, include_decoder=False)
+    }
+    neck = {}
+    for ours, theirs in (("up0", 0), ("up1", 3), ("up2", 4), ("up3", 7)):
+        neck[ours] = _convtrans_hwio(sd, f"neck.feature_pyramid_net.{theirs}")
+    for ours, theirs in (("ln0", 1), ("ln1", 5)):
+        neck[ours] = _layernorm(sd, f"neck.feature_pyramid_net.{theirs}.ln")
+    params["neck"] = neck
+
+    n_convs = sum(1 for k in sd if k.startswith("head.net.") and k.endswith(".running_mean"))
+    head: dict[str, typing.Any] = {}
+    head_stats: dict[str, typing.Any] = {}
+    for i in range(n_convs):
+        head[f"conv{i}"] = _conv_with_bias(sd, f"head.net.{3 * i}")
+        head[f"bn{i}"], head_stats[f"bn{i}"] = _bn(sd, f"head.net.{3 * i + 1}")
+    head["classifier"] = _conv_with_bias(sd, f"head.net.{3 * n_convs + 1}")
+    params["head"] = head
+    return params, {"head": head_stats}
+
+
+def load_reference_prithvi_seg_weights(
+    params_template: dict, batch_stats_template: dict, path: str | Path
+) -> tuple[dict, dict]:
+    """Load a reference PrithviSegmentationNet checkpoint (raw state dict or
+    Lightning .ckpt with net.-prefixed keys) into s2tpu seg-net templates."""
+    import torch
+
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(str(path))
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("state_dict", ckpt)
+    params, stats = convert_reference_prithvi_seg_state_dict(sd)
+    return (
+        _merge_into(params_template, params),
+        _merge_into(batch_stats_template, stats),
+    )
+
+
 def load_efficientnet_weights(
     params_template: dict,
     batch_stats_template: dict,

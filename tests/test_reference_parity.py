@@ -42,6 +42,7 @@ pytestmark = pytest.mark.skipif(
 
 from s2tpu.checkpoint.convert_torch import (  # noqa: E402
     convert_prithvi_state_dict,
+    convert_reference_prithvi_seg_state_dict,
     convert_reference_unet_state_dict,
     load_prithvi_weights,
 )
@@ -183,6 +184,107 @@ def test_prithvi_pos_embed_matches_reference(ref):
         theirs = pr.get_3d_sincos_pos_embed(768, grid, cls_token=True)
         ours = ours_mod.sincos_3d(768, grid, cls_token=True)
         np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Full PrithviSegmentationNet (backbone + neck + FCN head) parity
+# ---------------------------------------------------------------------------
+def test_prithvi_seg_full_net_parity(ref, monkeypatch):
+    """The full reference PrithviSegmentationNet vs s2tpu, weights converted
+    through convert_reference_prithvi_seg_state_dict — the finetuned-checkpoint
+    ingestion path (reference prithvi_segmentation.py:132-162).
+
+    Tiny dims (the converter and both models are size-agnostic; full-scale
+    backbone conversion is covered by test_prithvi_checkpoint_surgery_parity).
+    The reference forward consumes SHUFFLED encoder tokens (the mask_ratio=0
+    quirk documented above), so the reference pipeline is composed manually
+    with the ids_restore unshuffle before neck+head; argmax maps must match
+    bit-for-bit."""
+    pr = ref["prithvi"]
+    ps = ref["prithvi_segmentation"]
+    args = _tiny_args()
+    torch.manual_seed(0)
+    tiny_backbone = pr.MaskedAutoencoderViT(**args)
+    monkeypatch.setattr(ps, "load_prithvi", lambda num_frames: tiny_backbone)
+
+    tcfg = ps.PrithviSegmentationNetConfig(
+        num_frames=1, num_classes=4, fcn_out_channels=32, fcn_num_convs=2,
+        fcn_dropout=0.1, frozen_backbone=True, embed_dim=args["embed_dim"],
+        patch_height=2, patch_width=2,
+    )
+    tnet = ps.PrithviSegmentationNet(tcfg)
+    tnet.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 1, args["img_size"], args["img_size"], args["in_chans"])).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        tx = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+        feats, _, ids_restore = tnet.backbone.forward_encoder(tx, mask_ratio=0.0)
+        # Unshuffle the ratio=0 token permutation before the spatial reshape.
+        patches = torch.stack([feats[b, 1:][ids_restore[b]] for b in range(feats.shape[0])])
+        feats = torch.cat([feats[:, :1], patches], dim=1)
+        t_logits = tnet.head(tnet.neck(feats)).numpy().transpose(0, 2, 3, 1)
+
+    from s2tpu.models.prithvi_mae import PrithviConfig
+    from s2tpu.models.prithvi_seg import PrithviSegmentationConfig, PrithviSegmentationNet
+
+    cfg = PrithviSegmentationConfig(
+        num_frames=1, num_classes=4, fcn_out_channels=32, fcn_num_convs=2,
+        fcn_dropout=0.1, frozen_backbone=True, embed_dim=args["embed_dim"],
+        patch_height=2, patch_width=2, backbone=PrithviConfig.from_model_args(args),
+    )
+    model = PrithviSegmentationNet(cfg)
+    variables = model.init(jax.random.key(0), jnp.asarray(x), train=False)
+    params, stats = convert_reference_prithvi_seg_state_dict(tnet.state_dict())
+    params = _merge(variables["params"], params)
+    stats = _merge(variables["batch_stats"], stats)
+    j_logits = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)
+    )
+
+    assert j_logits.shape == t_logits.shape
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-3, atol=1e-4)
+    # North star: bit-for-bit class maps (BASELINE.md output-parity row).
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
+
+
+def test_prithvi_seg_conversion_covers_all_reference_weights(ref, monkeypatch):
+    """Every neck/head tensor lands in the converted tree (backbone pos
+    embeds excluded by design; BN counters excluded)."""
+    pr = ref["prithvi"]
+    ps = ref["prithvi_segmentation"]
+    args = _tiny_args()
+    torch.manual_seed(1)
+    monkeypatch.setattr(ps, "load_prithvi", lambda num_frames: pr.MaskedAutoencoderViT(**args))
+    tnet = ps.PrithviSegmentationNet(
+        ps.PrithviSegmentationNetConfig(
+            num_frames=1, num_classes=3, fcn_out_channels=16, fcn_num_convs=1,
+            fcn_dropout=0.0, frozen_backbone=False, embed_dim=args["embed_dim"],
+            patch_height=2, patch_width=2,
+        )
+    )
+    sd = tnet.state_dict()
+    params, stats = convert_reference_prithvi_seg_state_dict(sd)
+
+    def leaves(tree) -> int:
+        return len(jax.tree_util.tree_leaves(tree))
+
+    expected = len(
+        [
+            k
+            for k in sd
+            if "num_batches_tracked" not in k
+            and "running_" not in k
+            and "pos_embed" not in k
+            # decoder dropped by the seg converter (forward_encoder only)
+            and not k.startswith(("backbone.decoder_", "backbone.mask_token"))
+        ]
+    )
+    running = len([k for k in sd if "running_" in k])
+    assert leaves(params) == expected
+    assert leaves(stats) == running
 
 
 # ---------------------------------------------------------------------------
