@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="upload the unlabeled corpus to HBM once; crop on device",
     )
     p.add_argument(
+        "--device-corpus-sharded", action="store_true",
+        help="shard the HBM corpus over the 'data' mesh (N/D segments per chip)",
+    )
+    p.add_argument(
         "--resume-from", default=None,
         help="checkpoint dir of a previous run — restores latest state and continues",
     )
@@ -79,7 +83,8 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
     t.tags.extend(args.tags)
     t.seed = args.seed if args.seed is not None else t.seed
     t.grad_accum_steps = args.grad_accum or t.grad_accum_steps
-    t.device_corpus = args.device_corpus or t.device_corpus
+    t.device_corpus = args.device_corpus or args.device_corpus_sharded or t.device_corpus
+    t.device_corpus_sharded = args.device_corpus_sharded or t.device_corpus_sharded
     if args.num_frames:
         config.model.num_frames = args.num_frames
         dmc.dataset_cfg.n_time_frames = args.num_frames

@@ -74,6 +74,10 @@ class MAETrainConfig:
     # slow host->device links: the MAE host pipeline measured ~60 img/s
     # through this environment's relay vs ~970 img/s device rate.
     device_corpus: bool = False
+    # Shard the HBM corpus over the 'data' mesh axis (N/D segments per chip;
+    # per-host blocks under multi-host). Mirrors segmentation's
+    # device_corpus_sharded.
+    device_corpus_sharded: bool = False
 
     use_wandb_logger: bool = True
     project_name: str = "prithvi-mae-finetune"

@@ -25,6 +25,9 @@ from pathlib import Path
 import numpy as np
 
 from s2tpu.configs.data_config import LABEL_MAPS, SEGMENT_SIZE, DataDirs, LabelMap
+from s2tpu.utils import get_logger
+
+logger = get_logger(__name__)
 
 
 class Sample(typing.NamedTuple):
@@ -189,6 +192,33 @@ def open_source(
     want_packed = kind in ("auto", "packed", "records")
     if want_packed and n_time_frames == 1 and meta_path.exists():
         meta = json.loads(meta_path.read_text())
+        if kind == "auto":
+            # "auto" silently prefers an existing pack over the tiff tree —
+            # make the choice loud and staleness detectable (ADVICE r2): log
+            # path + mtime, and warn when the tiff tree has more segments or
+            # newer files than the pack.
+            import datetime
+
+            mtime = meta_path.stat().st_mtime
+            logger.info(
+                f"source auto: using packed corpus {packed_dir} "
+                f"(n={meta.get('n')}, packed {datetime.datetime.fromtimestamp(mtime):%Y-%m-%d %H:%M})"
+            )
+            try:
+                dirs = DataDirs(aoi=aoi, map_type=label_map, data_dir=data_dir)
+                tiffs = dirs.sentinel_files  # {idx: Path}
+                if tiffs:
+                    newest = max(p.stat().st_mtime for p in tiffs.values())
+                    if newest > mtime:
+                        logger.warning(
+                            f"source auto: GeoTIFF tree has files newer than the packed corpus "
+                            f"({datetime.datetime.fromtimestamp(newest):%Y-%m-%d %H:%M} > pack "
+                            f"{datetime.datetime.fromtimestamp(mtime):%Y-%m-%d %H:%M}) — the pack "
+                            f"may be stale; re-run `python -m s2tpu.cli.pack {aoi} {label_map}` "
+                            "or force --source tiff"
+                        )
+            except Exception as e:  # noqa: BLE001 — staleness check must never block training
+                logger.debug(f"pack staleness check skipped: {e}")
         if str(meta.get("magic", "")).startswith("s2rec"):
             if kind == "packed":
                 raise FileNotFoundError(f"{packed_dir} holds an s2rec corpus, not a memmap pack")

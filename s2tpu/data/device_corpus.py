@@ -76,9 +76,34 @@ class DeviceCorpus:
             corpus_sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
             if jax.process_count() > 1:
                 # Each process materializes only its own block on device.
-                n_local_dev = len([dv for dv in mesh.devices.flat if dv.process_index == jax.process_index()])
+                # Ownership math (shard_pools: global_id // n_local, upload:
+                # lo = process_index * per_proc) requires the mesh data axis
+                # to be process-contiguous and process-ordered — verify it
+                # against the actual device layout instead of assuming
+                # (ADVICE r2: a custom devices= order would silently train
+                # on the wrong segments).
+                rows = np.asarray(mesh.devices).reshape(d, -1)
+                row_procs = [{dv.process_index for dv in row} for row in rows]
+                assert all(len(s) == 1 for s in row_procs), (
+                    "sharded device_corpus requires each data-axis mesh row to "
+                    "live on a single process (model-axis groups must not span "
+                    f"hosts); got per-row processes {row_procs}"
+                )
+                procs = [next(iter(s)) for s in row_procs]
+                assert procs == sorted(procs) and procs == [
+                    p for p in range(jax.process_count()) for _ in range(procs.count(p))
+                ], (
+                    "sharded device_corpus requires the mesh data axis to be "
+                    "ordered by process index (process-contiguous blocks); got "
+                    f"data-row process order {procs}. Build the mesh with the "
+                    "default device order or reorder devices= by process."
+                )
+                # Derive this process's block from its actual first data-row
+                # (not from process_index * count, which assumes equal
+                # per-process device counts).
+                n_local_dev = procs.count(jax.process_index())
                 per_proc = self.n_local * n_local_dev
-                lo = jax.process_index() * per_proc
+                lo = procs.index(jax.process_index()) * self.n_local
                 self.images = jax.make_array_from_process_local_data(
                     corpus_sharding, images[lo : lo + per_proc]
                 )
@@ -147,14 +172,49 @@ def sample_crop_batch(
 
 
 def sharded_epoch_orders(
-    rng: np.random.Generator, pools: list[np.ndarray], per_shard_bs: int, overfit_batches: int
+    rng: np.random.Generator,
+    pools: list[np.ndarray],
+    per_shard_bs: int,
+    overfit_batches: int,
+    weights: list[np.ndarray] | None = None,
 ) -> tuple[list[np.ndarray], int]:
-    """Per-shard shuffled LOCAL-id orders + the epoch's step count.
+    """Per-shard LOCAL-id orders + the epoch's step count.
 
     Every device contributes exactly ``per_shard_bs`` samples per step from
-    its own segment shard; the epoch ends when the smallest pool runs dry
-    (drop-last, like the host pipeline).
+    its own segment shard. Unweighted: shuffled without replacement; the
+    epoch ends when the smallest pool runs dry (drop-last, like the host
+    pipeline). Weighted (``weights`` = per-shard arrays aligned with
+    ``pools``): draws WITH replacement, probabilities normalized per shard —
+    exact global weighted sampling when shard masses are equal, and segments
+    land on shards uniformly at random so masses concentrate tightly; the
+    epoch length matches the unweighted global epoch (one pass worth of
+    draws).
+
+    Raises on pools too small to fill a per-shard batch instead of silently
+    yielding a zero-step epoch (ADVICE r2).
     """
+    sizes = [len(p) for p in pools]
+    if min(sizes) < per_shard_bs and overfit_batches == 0:
+        raise ValueError(
+            f"sharded device_corpus: smallest shard train pool has {min(sizes)} samples "
+            f"(< per-shard batch {per_shard_bs}; pool sizes {sizes}) — the epoch would "
+            "train zero steps. Use a smaller batch size, more data, or a non-sharded corpus."
+        )
+    if overfit_batches > 0 and min(sizes) == 0:
+        raise ValueError(
+            f"sharded device_corpus: an overfit shard pool is empty (pool sizes {sizes}); "
+            "overfitting needs at least one sample per shard — use a non-sharded corpus."
+        )
+    if weights is not None:
+        n_batches = sum(sizes) // (per_shard_bs * len(pools))
+        if overfit_batches > 0:
+            n_batches = min(overfit_batches, max(n_batches, 1))
+        draws = n_batches * per_shard_bs
+        orders = [
+            rng.choice(p, size=draws, replace=True, p=w / w.sum())
+            for p, w in zip(pools, weights)
+        ]
+        return orders, n_batches
     orders = [rng.permutation(p) for p in pools]
     n_batches = min(len(o) for o in orders) // per_shard_bs
     if overfit_batches > 0:
@@ -216,4 +276,24 @@ def sharded_gather(mesh: jax.sharding.Mesh, crop: int):
         mesh=mesh,
         in_specs=(P(data), P(data), P(data), P(data), P(data)),
         out_specs=(P(data), P(data)),
+    )
+
+
+def sharded_image_gather(mesh: jax.sharding.Mesh, crop: int):
+    """Images-only shard-local crop gather (unlabeled MAE corpora)."""
+    from jax.experimental.shard_map import shard_map
+
+    data = mesh_lib.DATA_AXIS
+
+    def local_gather(imgs, idx, ys, xs):
+        def one(i, y, x):
+            return jax.lax.dynamic_slice(imgs, (i, y, x, 0), (1, crop, crop, imgs.shape[3]))[0]
+
+        return jax.vmap(one)(idx, ys, xs)
+
+    return shard_map(
+        local_gather,
+        mesh=mesh,
+        in_specs=(P(data), P(data), P(data), P(data)),
+        out_specs=P(data),
     )

@@ -71,14 +71,17 @@ class MAETrainer:
         self._host_step = 0  # host mirror of state.step (watch gating, no sync)
         self.corpus = None
         if getattr(config.train, "device_corpus", False):
-            assert jax.process_count() == 1, (
-                "MAE device_corpus is single-process (use the host pipeline "
-                "with per-process input sharding for multi-host)"
+            sharded = getattr(config.train, "device_corpus_sharded", False)
+            assert jax.process_count() == 1 or sharded, (
+                "multi-host MAE device_corpus requires device_corpus_sharded "
+                "(per-host HBM blocks); the replicated corpus is single-process"
             )
             from s2tpu.data.device_corpus import DeviceCorpus
 
             # Unlabeled corpus: skip the label upload entirely.
-            self.corpus = DeviceCorpus(datamodule.source, with_labels=False)
+            self.corpus = DeviceCorpus(
+                datamodule.source, mesh=self.mesh, shard=sharded, with_labels=False
+            )
         self.state = self._init_state()
         self._build_steps()
 
@@ -176,8 +179,8 @@ class MAETrainer:
                 grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
                 loss = lsum / accum
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            # with_f32_master returns the new bf16 params directly.
-            new_params = updates if self._mixed_params else optax.apply_updates(state.params, updates)
+            # with_f32_master returns the new bf16 params (NewParams wrapper).
+            new_params = updates.tree if self._mixed_params else optax.apply_updates(state.params, updates)
             out = {"loss": loss}
             if watch:
                 from s2tpu.train.trainer import _watch_norms
@@ -212,17 +215,27 @@ class MAETrainer:
             per_ok = batch_mask.astype(jnp.float32)
             return {"loss": loss, "weight": per_ok.mean(), "pred": pred, "mask": mask}
 
+        if self.corpus is not None and self.corpus.sharded:
+            from s2tpu.data.device_corpus import sharded_image_gather
+
+            gather = sharded_image_gather(self.mesh, dm_cfg.random_crop_size)
+        else:
+
+            def gather(corpus_images, idx, ys, xs):
+                crop = dm_cfg.random_crop_size
+
+                def one(i, y, x):
+                    return jax.lax.dynamic_slice(
+                        corpus_images, (i, y, x, 0), (1, crop, crop, corpus_images.shape[3])
+                    )[0]
+
+                return jax.vmap(one)(idx, ys, xs)
+
         def train_step_indexed(state, corpus_images, idx, ys, xs, rng):
             """Device-corpus step: the on-device crop gather makes idx/ys/xs
-            the only per-step host->device traffic (unlabeled corpus)."""
-            crop = dm_cfg.random_crop_size
-
-            def one(i, y, x):
-                return jax.lax.dynamic_slice(
-                    corpus_images, (i, y, x, 0), (1, crop, crop, corpus_images.shape[3])
-                )[0]
-
-            images = jax.vmap(one)(idx, ys, xs)
+            the only per-step host->device traffic (unlabeled corpus; the
+            sharded variant crops shard-locally under shard_map)."""
+            images = gather(corpus_images, idx, ys, xs)
             return train_step(state, images, rng)
 
         donate = ("state",) if cfg.train.donate_state else ()
@@ -257,18 +270,48 @@ class MAETrainer:
             bs = cfg.datamodule.batch_size
             overfit = cfg.train.overfit_batches
             rng = epoch_rng(cfg.datamodule.shuffle_seed, epoch, overfit)
-            order, n_batches = sample_epoch_order(rng, self.dm.train_idx, None, bs, overfit)
+            crop = cfg.datamodule.random_crop_size
             random_crop = cfg.datamodule.augment and overfit == 0
-            batches = (
-                sample_crop_batch(
-                    rng, order, b, bs, self.corpus.hw, cfg.datamodule.random_crop_size, random_crop
+            if self.corpus.sharded:
+                from s2tpu.data.device_corpus import (
+                    sample_sharded_crop_batch,
+                    sharded_epoch_orders,
                 )
-                for b in range(n_batches)
-            )
+
+                d = self.mesh.shape[mesh_lib.DATA_AXIS]
+                assert bs % d == 0, (bs, d)
+                per = bs // d
+                orders, n_batches = sharded_epoch_orders(
+                    rng, self.corpus.shard_pools(self.dm.train_idx), per, overfit
+                )
+                sample = lambda b: sample_sharded_crop_batch(  # noqa: E731
+                    rng, orders, b, per, self.corpus.hw, crop, random_crop
+                )
+            else:
+                order, n_batches = sample_epoch_order(rng, self.dm.train_idx, None, bs, overfit)
+                sample = lambda b: sample_crop_batch(  # noqa: E731
+                    rng, order, b, bs, self.corpus.hw, crop, random_crop
+                )
+
+            def corpus_batches():
+                multi_proc = jax.process_count() > 1
+                for b in range(n_batches):
+                    idx, ys, xs = sample(b)
+                    if multi_proc:
+                        # Same global draws everywhere; ship only our slice
+                        # and assemble global (B,) vectors over the mesh.
+                        from s2tpu.parallel.multihost import local_slice, put_batch
+
+                        sl = local_slice(len(idx))
+                        sharding = mesh_lib.data_sharding(self.mesh)
+                        idx, ys, xs = (put_batch(a[sl], sharding) for a in (idx, ys, xs))
+                    yield idx, ys, xs
+
+            batches = corpus_batches()
             step = lambda b: self.train_step_indexed(  # noqa: E731
                 self.state, self.corpus.images, *b, self.base_rng
             )
-            batch_size_of = lambda b: len(b[0])  # noqa: E731
+            batch_size_of = lambda b: bs  # noqa: E731
         else:
             batches = prefetch_to_device(
                 self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches),

@@ -25,6 +25,17 @@ class MasterState(typing.NamedTuple):
     inner: typing.Any
 
 
+class NewParams(typing.NamedTuple):
+    """Marker wrapper returned by ``with_f32_master``'s update() in place of
+    an updates tree: holds the NEW bf16 params directly. Consumers must
+    unwrap explicitly (``new_params = updates.tree``); feeding it to
+    ``optax.apply_updates`` or any delta-composing wrapper fails loudly with
+    a tree-structure mismatch instead of silently adding params to params
+    (ADVICE r2)."""
+
+    tree: typing.Any
+
+
 def cast_floats(tree: typing.Any, dtype) -> typing.Any:
     """Cast floating-point leaves of a pytree to `dtype` (others untouched)."""
     return jax.tree_util.tree_map(
@@ -39,9 +50,11 @@ def with_f32_master(inner: optax.GradientTransformation) -> optax.GradientTransf
     small Adam deltas never get rounded away by bf16's 8-bit mantissa.
 
     CONTRACT CHANGE vs plain optax: ``update()`` returns the NEW bf16 params
-    as the "updates" pytree. Consume them directly (``new_params = updates``),
-    NOT via ``optax.apply_updates`` — re-deriving a bf16 delta and re-adding
-    it would round twice. The trainers branch on this explicitly.
+    wrapped in :class:`NewParams` (``new_params = updates.tree``), NOT a
+    delta — re-deriving a bf16 delta and re-adding it would round twice.
+    The wrapper makes any accidental ``optax.apply_updates`` / optax.chain
+    composition fail with a tree-structure mismatch instead of corrupting
+    weights. The trainers branch on this explicitly.
     """
 
     def init(params):
@@ -54,7 +67,7 @@ def with_f32_master(inner: optax.GradientTransformation) -> optax.GradientTransf
         master = optax.apply_updates(state.master, updates)
         template = params if params is not None else master
         new_params = jax.tree_util.tree_map(lambda m, p: m.astype(p.dtype), master, template)
-        return new_params, MasterState(master=master, inner=inner_state)
+        return NewParams(new_params), MasterState(master=master, inner=inner_state)
 
     return optax.GradientTransformation(init, update)
 

@@ -37,39 +37,92 @@ assert jax.device_count() == 4 * n_proc, jax.device_count()
 
 import numpy as np  # noqa: E402
 
-from s2tpu.configs import segmentation as cfg_lib  # noqa: E402
-from s2tpu.data.pipeline import Datamodule  # noqa: E402
 from s2tpu.parallel import mesh as mesh_lib  # noqa: E402
-from s2tpu.train.trainer import SegmentationTrainer  # noqa: E402
 
-config = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
-config.datamodule.dataset_cfg.data_dir = fixture_dir
-config.datamodule.batch_size = 4 * n_proc  # global; 4 per process, 1 per device
-config.datamodule.random_crop_size = 64
-config.datamodule.data_split = (0.5, 0.5, 0.0)
-config.train.compute_dtype = "float32"
-config.train.max_epochs = 1
-if mode == "corpus":
-    config.train.device_corpus = True
-    config.train.device_corpus_sharded = True
-
-dm = Datamodule(config.datamodule)
-assert dm.n_proc == n_proc and dm.proc == pid
 mesh = mesh_lib.make_mesh(-1)  # all global devices
 assert mesh.devices.size == 4 * n_proc
 
-trainer = SegmentationTrainer(config, dm, mesh=mesh)
-history = trainer.fit(epochs=1)
-rec = history[0]
-print(
-    "RESULT "
-    + json.dumps(
-        {
-            "pid": pid,
-            "train_loss": rec.get("train/loss"),
-            "val_loss": rec.get("val/loss"),
-            "val_iou": rec.get("val/iou"),
-        }
-    ),
-    flush=True,
-)
+if mode == "mae_corpus":
+    # MAE pretraining from a 'data'-sharded unlabeled device corpus
+    # (per-host HBM blocks; VERDICT r2 item #4b).
+    from s2tpu.configs import mae as mae_cfg  # noqa: E402
+    from s2tpu.configs.segmentation import DatamoduleConfig, DatasetConfig  # noqa: E402
+    from s2tpu.data.dataset import TiffSource  # noqa: E402
+    from s2tpu.data.pipeline import Datamodule  # noqa: E402
+    from s2tpu.models.prithvi_mae import PrithviConfig  # noqa: E402
+    from s2tpu.train.mae_trainer import MAETrainer  # noqa: E402
+
+    tiny = PrithviConfig(
+        img_size=32, patch_size=16, num_frames=1, tubelet_size=1, in_chans=6,
+        embed_dim=32, depth=1, num_heads=2, decoder_embed_dim=16,
+        decoder_depth=1, decoder_num_heads=2,
+    )
+    c = mae_cfg.base_config(aoi="small")
+    c.datamodule.dataset_cfg.data_dir = fixture_dir
+    c.datamodule.batch_size = 4 * n_proc
+    c.datamodule.random_crop_size = 32
+    c.datamodule.data_split = (0.5, 0.5, 0.0)
+    c.train.from_scratch = True
+    c.train.device_corpus = True
+    c.train.device_corpus_sharded = True
+    source = TiffSource("small", "osm-multiclass", data_dir=fixture_dir, require_labels=False)
+    dm = Datamodule(
+        DatamoduleConfig(
+            dataset_cfg=DatasetConfig(aoi="small", label_map="osm-multiclass", data_dir=fixture_dir),
+            batch_size=4 * n_proc,
+            data_split=(0.5, 0.5, 0.0),
+            random_crop_size=32,
+        ),
+        source=source,
+    )
+    assert dm.n_proc == n_proc and dm.proc == pid
+    trainer = MAETrainer(c, dm, mesh=mesh, model_config=tiny)
+    assert trainer.corpus is not None and trainer.corpus.sharded
+    history = trainer.fit(epochs=1)
+    rec = history[0]
+    result = {
+        "pid": pid,
+        "train_loss": rec.get("train/loss"),
+        "val_loss": rec.get("val/loss"),
+        "val_iou": 0.0,
+    }
+else:
+    from s2tpu.configs import segmentation as cfg_lib  # noqa: E402
+    from s2tpu.data.pipeline import Datamodule  # noqa: E402
+    from s2tpu.train.trainer import SegmentationTrainer  # noqa: E402
+
+    config = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    config.datamodule.dataset_cfg.data_dir = fixture_dir
+    config.datamodule.batch_size = 4 * n_proc  # global; 4 per process, 1 per device
+    config.datamodule.random_crop_size = 64
+    config.datamodule.data_split = (0.5, 0.5, 0.0)
+    config.train.compute_dtype = "float32"
+    config.train.max_epochs = 1
+    if mode in ("corpus", "bnrecal_corpus"):
+        config.train.device_corpus = True
+        config.train.device_corpus_sharded = True
+    if mode in ("bnrecal_corpus", "bnrecal_stream"):
+        # Multi-host BN recalibration: exact pooled statistics over GLOBAL
+        # batches before the val pass (VERDICT r2 item #4a — was skipped
+        # under process_count > 1 in r2).
+        config.train.bn_recalibration_batches = 2
+
+    dm = Datamodule(config.datamodule)
+    assert dm.n_proc == n_proc and dm.proc == pid
+
+    trainer = SegmentationTrainer(config, dm, mesh=mesh)
+    history = trainer.fit(epochs=1)
+    rec = history[0]
+    result = {
+        "pid": pid,
+        "train_loss": rec.get("train/loss"),
+        "val_loss": rec.get("val/loss"),
+        "val_iou": rec.get("val/iou"),
+    }
+    if mode in ("bnrecal_corpus", "bnrecal_stream"):
+        # Fingerprint the pooled BN statistics: all processes must hold the
+        # exact same recalibrated stats (replicated).
+        leaves = jax.tree_util.tree_leaves(jax.device_get(trainer.state.batch_stats))
+        result["bn_fingerprint"] = float(sum(np.float64(np.asarray(x)).sum() for x in leaves))
+
+print("RESULT " + json.dumps(result), flush=True)

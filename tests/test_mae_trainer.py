@@ -194,3 +194,36 @@ def test_mae_device_corpus_epoch(fixture_dir):
     assert int(trainer.state.step) == 3  # 6 samples, bs 2
     m2 = trainer.run_train_epoch(epoch=1)
     assert np.isfinite(m2["loss"])
+
+
+def test_mae_sharded_device_corpus_epoch(fixture_dir):
+    """MAE sharded device corpus: the unlabeled corpus sharded over 'data',
+    shard-local image gathers, per-shard epoch orders (VERDICT r2 item #4b)."""
+    c = mae_cfg.base_config(aoi="small")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 2
+    c.datamodule.random_crop_size = 32
+    c.datamodule.data_split = (1.0, 0.0, 0.0)
+    c.train.from_scratch = True
+    c.train.lr = 1e-3
+    c.train.device_corpus = True
+    c.train.device_corpus_sharded = True
+    source = TiffSource("small", "osm-multiclass", data_dir=fixture_dir, require_labels=False)
+    dm = Datamodule(
+        DatamoduleConfig(
+            dataset_cfg=DatasetConfig(aoi="small", label_map="osm-multiclass", data_dir=str(fixture_dir)),
+            batch_size=2,
+            data_split=(1.0, 0.0, 0.0),
+            random_crop_size=32,
+        ),
+        source=source,
+    )
+    trainer = MAETrainer(c, dm, mesh=mesh_lib.make_mesh(2), model_config=TINY)
+    assert trainer.corpus is not None and trainer.corpus.sharded
+    assert trainer.corpus.labels is None
+    m = trainer.run_train_epoch(epoch=0)
+    assert np.isfinite(m["loss"])
+    # 6 segments -> 3 per shard, per-shard bs 1 -> 3 steps
+    assert int(trainer.state.step) == 3
+    m2 = trainer.run_train_epoch(epoch=1)
+    assert np.isfinite(m2["loss"])

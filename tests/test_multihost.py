@@ -107,3 +107,38 @@ def test_two_process_sharded_device_corpus(mh_fixture):
     """Each process holds only its own HBM corpus block; per-shard draws,
     shard-local gathers, identical replicated losses."""
     _assert_agree(_run_workers(mh_fixture, n_proc=2, mode="corpus"))
+
+
+@pytest.mark.slow
+def test_two_process_bn_recalibration_streamed(mh_fixture):
+    """BN recalibration under multi-host: exact stats over GLOBAL batches
+    (each process feeds its slice; one SPMD program reduces across DCN) —
+    the r2 skip is gone. All processes must end with identical pooled
+    statistics and val metrics."""
+    results = _run_workers(mh_fixture, n_proc=2, mode="bnrecal_stream")
+    _assert_agree(results)
+    fps = [r["bn_fingerprint"] for r in results]
+    np.testing.assert_allclose(fps[0], fps[1], rtol=0)
+
+
+@pytest.mark.slow
+def test_two_process_bn_recalibration_sharded_corpus(mh_fixture):
+    """Corpus-native BN recal on a multi-host sharded device corpus: stats
+    gathered shard-locally from per-host HBM blocks, pooled globally."""
+    results = _run_workers(mh_fixture, n_proc=2, mode="bnrecal_corpus")
+    _assert_agree(results)
+    fps = [r["bn_fingerprint"] for r in results]
+    np.testing.assert_allclose(fps[0], fps[1], rtol=0)
+
+
+@pytest.mark.slow
+def test_two_process_mae_sharded_corpus(mh_fixture):
+    """MAE pretraining from a sharded unlabeled device corpus across two
+    processes (per-host HBM blocks) — identical replicated losses."""
+    results = _run_workers(mh_fixture, n_proc=2, mode="mae_corpus")
+    r0 = results[0]
+    assert np.isfinite(r0["train_loss"])
+    for k, r in enumerate(results):
+        assert r["pid"] == k
+        np.testing.assert_allclose(r0["train_loss"], r["train_loss"], rtol=1e-6)
+        np.testing.assert_allclose(r0["val_loss"], r["val_loss"], rtol=1e-6)
