@@ -3,8 +3,10 @@
 test:
 	python -m pytest tests/ -x -q
 
+# Fast tier: skips @pytest.mark.slow (multi-process sims, convergence runs,
+# full-scale parity) — ~5 min vs ~50 for the full suite on a 1-core box.
 test-fast:
-	python -m pytest tests/ -q -n 4  # pytest-xdist parallel
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

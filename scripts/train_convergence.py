@@ -41,18 +41,26 @@ def main() -> None:
     p.add_argument("--segments", type=int, default=128)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--crop", type=int, default=224)
+    p.add_argument("--seg-size", type=int, default=256)
+    p.add_argument(
+        "--num-devices", type=int, default=1,
+        help="data-parallel mesh size (8 on the virtual CPU mesh validates "
+        "that multi-chip training converges identically to single-device)",
+    )
     p.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "MIOU.json"))
     args = p.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="s2tpu_conv_")
     make_synthetic_fixture(
-        tmp, aoi="small", label_map=args.label_map, n_segments=args.segments, size=(256, 256), seed=0
+        tmp, aoi="small", label_map=args.label_map, n_segments=args.segments,
+        size=(args.seg_size, args.seg_size), seed=0,
     )
 
     config = cfg_lib.base_config(args.model, aoi="small", label_map=args.label_map)
     config.datamodule.dataset_cfg.data_dir = tmp
     config.datamodule.batch_size = args.bs
-    config.datamodule.random_crop_size = 224
+    config.datamodule.random_crop_size = args.crop
     config.datamodule.data_split = (0.75, 0.25, 0.0)
     config.train.compute_dtype = "bfloat16"
     config.train.lr = args.lr
@@ -70,7 +78,7 @@ def main() -> None:
     )
     config.train.class_distribution = dist.tolist()
 
-    trainer = SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(1))
+    trainer = SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(args.num_devices))
     t0 = time.time()
     history = trainer.fit(epochs=args.epochs)
     elapsed = time.time() - t0
@@ -78,7 +86,9 @@ def main() -> None:
     record = {
         "model": args.model,
         "label_map": args.label_map,
-        "dataset": f"synthetic {args.label_map} seed0 n={args.segments} 256^2 (deterministic)",
+        "dataset": f"synthetic {args.label_map} seed0 n={args.segments} {args.seg_size}^2 (deterministic)",
+        "crop": args.crop,
+        "mesh": {"data": args.num_devices},
         "epochs": args.epochs,
         "lr": args.lr,
         "batch_size": args.bs,
@@ -97,9 +107,11 @@ def main() -> None:
     if out.exists():
         prev = json.loads(out.read_text())
         existing = prev if isinstance(prev, list) else [prev]
-    key = (record["model"], record["label_map"])
+    key = (record["model"], record["label_map"], args.num_devices)
     existing = [
-        r for r in existing if (r.get("model"), r.get("label_map", "osm-multiclass")) != key
+        r
+        for r in existing
+        if (r.get("model"), r.get("label_map", "osm-multiclass"), r.get("mesh", {}).get("data", 1)) != key
     ]
     existing.append(record)
     out.write_text(json.dumps(existing, indent=2) + "\n")

@@ -44,6 +44,7 @@ def test_sample_crop_batch_bounds(rng):
     np.testing.assert_array_equal(cy, 16)
 
 
+@pytest.mark.slow
 def test_trainer_device_corpus_epoch(fixture_dir):
     c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
     c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
@@ -169,6 +170,7 @@ def test_sharded_epoch_orders_weighted():
     assert len(np.unique(orders[1])) > 1
 
 
+@pytest.mark.slow
 def test_trainer_sharded_corpus_weighted_sampling(fixture_dir):
     """Weighted sampling now runs on the sharded corpus (per-shard
     reweighted draws) instead of asserting (VERDICT r2 item #4c)."""
@@ -189,6 +191,7 @@ def test_trainer_sharded_corpus_weighted_sampling(fixture_dir):
     assert int(trainer.state.step) == 3  # 6 samples / global bs 2
 
 
+@pytest.mark.slow
 def test_trainer_sharded_device_corpus_epoch(fixture_dir):
     """Full epoch over an 8-device mesh with the corpus sharded over 'data'."""
     c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")

@@ -30,6 +30,7 @@ def setup(fixture_dir):
     return build
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_single_step_loss(setup):
     t1, t2 = setup(1), setup(2)
     batch = next(iter(t1.dm.train_batches(epoch=0)))
@@ -50,6 +51,7 @@ def test_grad_accum_matches_single_step_loss(setup):
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+@pytest.mark.slow
 def test_grad_accum_converges_overfit(setup):
     trainer = setup(2)
     cfg = dataclasses.replace(trainer.config.train)  # noqa: F841 — readability only

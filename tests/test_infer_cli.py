@@ -1,6 +1,7 @@
 """End-to-end inference CLI: train -> checkpoint -> restore -> tiled rasters."""
 
 import numpy as np
+import pytest
 
 from s2tpu.checkpoint.orbax_io import CheckpointManager
 from s2tpu.configs import segmentation as cfg_lib
@@ -10,6 +11,7 @@ from s2tpu.parallel import mesh as mesh_lib
 from s2tpu.train.trainer import SegmentationTrainer
 
 
+@pytest.mark.slow
 def test_infer_cli_roundtrip(fixture_dir, tmp_path):
     c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
     c.datamodule.dataset_cfg.data_dir = str(fixture_dir)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from s2tpu.infer.tiled import hann_window, tile_offsets, tiled_predict, tiled_predict_many
 from s2tpu.infer.writer import PredictionWriter
@@ -114,6 +115,7 @@ def test_tiled_predict_many_matches_single():
         np.testing.assert_allclose(group_logits[i], single_logits, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hann_blend_seam_quality_on_trained_model(fixture_dir):
     """Seam-artifact check on a TRAINED model (VERDICT r1 weak #9): the
     Hann-blended overlapping prediction must agree with the full-image

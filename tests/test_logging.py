@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from s2tpu.train.logging_utils import RunLogger
 
@@ -24,6 +25,7 @@ def test_run_logger_image(tmp_path):
     assert (tmp_path / "imgrun" / "val_mask_1.png").exists()
 
 
+@pytest.mark.slow
 def test_trainer_epoch_image_logging(tmp_path, fixture_dir):
     from s2tpu.configs import segmentation as cfg_lib
     from s2tpu.data.pipeline import Datamodule
@@ -48,6 +50,7 @@ def test_trainer_epoch_image_logging(tmp_path, fixture_dir):
     assert "val_fixed_prediction_dynamics" in names
 
 
+@pytest.mark.slow
 def test_watch_norms_logged_on_interval_only(tmp_path, fixture_dir):
     """Watch scalars appear exactly every watch_interval steps, and the
     off-interval steps dispatch the no-watch program (the step metrics carry

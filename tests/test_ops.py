@@ -40,6 +40,74 @@ def test_flash_attention_grad_via_fallback(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "b,l,h,d,g",
+    [
+        (2, 197, 4, 32, 8),  # MAE decoder shape (L pads to 256), head_group > B*H folds down
+        (2, 50, 3, 64, 2),   # MAE masked-encoder shape
+        (1, 128, 2, 16, 2),
+    ],
+)
+def test_fused_attention_matches_reference(rng, b, l, h, d, g):
+    from s2tpu.ops.flash_attention import fused_attention
+
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    out = fused_attention(q, k, v, g, True)
+    ref = _reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_attention_grads_match_reference(rng):
+    """Pallas backward (dq, dk, dv) vs XLA attention autodiff — the training
+    path's correctness gate (non-multiple-of-128 L exercises the row/key
+    padding masks in bwd)."""
+    from s2tpu.ops.flash_attention import fused_attention
+
+    b, l, h, d = 2, 197, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return (fused_attention(q, k, v, 4, True) * cot).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v) * cot).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "q k v".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4, err_msg=f"d{name}"
+        )
+
+
+def test_fused_attention_in_prithvi_block(rng):
+    """attention_impl='fused' must reproduce the 'xla' forward through a full
+    PrithviMAE encoder (same params, same masking rng)."""
+    import dataclasses
+
+    from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE
+
+    cfg = PrithviConfig(
+        img_size=32, patch_size=16, num_frames=1, tubelet_size=1, in_chans=6,
+        embed_dim=64, depth=2, num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 1, 32, 32, 6)).astype(np.float32))
+    model = PrithviMAE(cfg)
+    variables = model.init({"params": jax.random.key(0)}, x, mask_ratio=0.0)
+    model_fused = PrithviMAE(dataclasses.replace(cfg, attention_impl="fused"))
+    with jax.default_matmul_precision("highest"):
+        loss_a, pred_a, _ = model.apply(variables, x, mask_ratio=0.5, mask_rng=jax.random.key(1))
+        loss_b, pred_b, _ = model_fused.apply(variables, x, mask_ratio=0.5, mask_rng=jax.random.key(1))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred_a), np.asarray(pred_b), rtol=1e-3, atol=1e-4)
+
+
 @pytest.fixture(scope="module")
 def ce_data():
     rng = np.random.default_rng(3)

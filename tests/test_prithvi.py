@@ -229,6 +229,7 @@ def test_seg_trainer_loads_prithvi_weights(fixture_dir, tmp_path, monkeypatch, c
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_mae_pretrain_to_seg_finetune(fixture_dir, tmp_path):
     """Full self-contained pretrain->finetune flow: MAE-pretrain a ViT-B on
     the fixture AOI, checkpoint it (Orbax), then initialize the frozen

@@ -63,6 +63,7 @@ def _exact_matmuls():
 # ---------------------------------------------------------------------------
 # EfficientNet-UNet: full model, logits + bit-for-bit argmax
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_unet_b0_full_model_parity(ref):
     eu = ref["efficientnet_unet"]
     torch.manual_seed(0)
@@ -290,6 +291,7 @@ def test_prithvi_seg_conversion_covers_all_reference_weights(ref, monkeypatch):
 # ---------------------------------------------------------------------------
 # Checkpoint-surgery parity: the exact load path Prithvi_100M.pt would take
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_prithvi_checkpoint_surgery_parity(ref, tmp_path, monkeypatch):
     """Write a .pt with the real Prithvi_100M architecture (random values,
     num_frames=3 like the published checkpoint), load it through BOTH the

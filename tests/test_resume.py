@@ -1,6 +1,7 @@
 """Training crash-resume: restore latest checkpoint and continue."""
 
 import numpy as np
+import pytest
 
 from s2tpu.checkpoint.orbax_io import CheckpointManager
 from s2tpu.configs import segmentation as cfg_lib
@@ -22,6 +23,7 @@ def _trainer(fixture_dir, ckpt_dir):
     return SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1), checkpoint_manager=mgr), mgr
 
 
+@pytest.mark.slow
 def test_resume_continues_from_latest(fixture_dir, tmp_path):
     t1, mgr1 = _trainer(fixture_dir, tmp_path / "ck")
     t1.fit(epochs=2)

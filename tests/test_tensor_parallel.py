@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE
 from s2tpu.parallel import mesh as mesh_lib
@@ -77,6 +78,7 @@ def test_tp_train_step_runs(rng, tmp_path):
         assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_tp_compile_has_no_remat_warnings(tmp_path):
     """The TP train step must compile without '[SPMD] Involuntary full
     rematerialization' (r1 regression: constraints omitted the data axis,

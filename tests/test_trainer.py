@@ -61,6 +61,7 @@ def test_predict_step(overfit_run):
     assert logits.shape == (batch.images.shape[0], 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device(tmp_path):
     """The same train step on a 1-device and an 8-device mesh must agree:
     global-batch BN stats + summed grads are identical XLA programs."""
@@ -125,6 +126,7 @@ def test_checkpoint_roundtrip(tmp_path, overfit_run):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_checkpoint_best_retention(tmp_path, overfit_run):
     from s2tpu.checkpoint.orbax_io import CheckpointManager
 
@@ -137,6 +139,7 @@ def test_checkpoint_best_retention(tmp_path, overfit_run):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_dice_focal_training_step(fixture_dir):
     """Combined-loss path end to end (components logged per step)."""
     import jax.numpy as jnp
@@ -188,6 +191,7 @@ def _dtype_policy_trainer(param_dtype, grad_accum=1):
     return SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1))
 
 
+@pytest.mark.slow
 def test_bf16_params_with_f32_master():
     """param_dtype=bfloat16: params stored bf16, f32 master inside the
     optimizer state, params always the exact cast of the master, and the
@@ -220,6 +224,7 @@ def test_bf16_params_with_f32_master():
     np.testing.assert_allclose(losses16, losses32, rtol=0.02)
 
 
+@pytest.mark.slow
 def test_bf16_params_grad_accum_f32_accumulation():
     """Gradient accumulation under bf16 params sums microbatch grads in f32."""
     t = _dtype_policy_trainer("bfloat16", grad_accum=2)
@@ -247,6 +252,7 @@ def test_pool_batch_stats_exact():
     np.testing.assert_allclose(pooled["bn"]["var"], union.var(0), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_recalibrate_bn_replaces_running_stats():
     """recalibrate_bn swaps EMA stats for exact pooled stats; eval still runs."""
     t = _dtype_policy_trainer("float32")

@@ -1,6 +1,7 @@
 """Random-search tuner tests (tiny model, 2 trials)."""
 
 import numpy as np
+import pytest
 
 from s2tpu.configs import segmentation as cfg_lib
 from s2tpu.data.pipeline import Datamodule
@@ -20,6 +21,7 @@ def test_sample_and_apply_trial():
     assert cfg.train.lr != cfg2.train.lr or cfg.train.lr == params["lr"]  # deepcopy
 
 
+@pytest.mark.slow
 def test_tune_cli_dispatch(fixture_dir, capsys):
     """--type tune must reach the tuner end-to-end (VERDICT r1: it was a
     silent no-op) and print the best trial's params."""
@@ -35,6 +37,7 @@ def test_tune_cli_dispatch(fixture_dir, capsys):
     assert "best_params=" in out
 
 
+@pytest.mark.slow
 def test_tune_runs_trials(fixture_dir):
     base = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
     base.datamodule.dataset_cfg.data_dir = str(fixture_dir)
@@ -61,6 +64,7 @@ def test_tune_runs_trials(fixture_dir):
     assert results[0].val_loss <= results[1].val_loss  # sorted best-first
 
 
+@pytest.mark.slow
 def test_tune_optuna_backend_mock(fixture_dir, monkeypatch):
     """The optuna backend drives trials through study.optimize / suggest_*
     (exercised via a minimal mock since the package is absent here)."""
