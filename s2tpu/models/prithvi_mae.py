@@ -179,6 +179,50 @@ def _constrain(x: jax.Array, spec) -> jax.Array:
         return x  # no ambient mesh (single-device / eager use)
 
 
+class _QKVEinsum(nn.Module):
+    """q/k/v straight into the head-major (3, B, H, L, Dh) layout.
+
+    Same parameters as ``nn.Dense(dim*3)`` — identical param paths
+    (``<name>/kernel``, ``<name>/bias``), shapes, and init — so converted
+    checkpoints are interchangeable between the xla and fused paths. The
+    einsum writes the head-major layout directly instead of reshaping +
+    transposing the (B, L, 3D) Dense output (XLA folds the output
+    permutation into the matmul's layout)."""
+
+    dim: int
+    num_heads: int
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        head_dim = self.dim // self.num_heads
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.dim * 3)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.dim * 3,))
+        k5 = kernel.reshape(x.shape[-1], 3, self.num_heads, head_dim).astype(self.dtype)
+        out = jnp.einsum("bli,iphd->pbhld", x, k5)
+        return out + bias.reshape(3, 1, self.num_heads, 1, head_dim).astype(self.dtype)  # (3,B,H,L,Dh)
+
+
+class _ProjEinsum(nn.Module):
+    """Output projection consuming (B, H, L, Dh) without a transpose: the
+    (H, Dh) pair contracts jointly against the reshaped Dense kernel. Param
+    paths/shapes/init identical to ``nn.Dense(dim)``."""
+
+    dim: int
+    num_heads: int
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_bhld: jax.Array) -> jax.Array:
+        head_dim = self.dim // self.num_heads
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (self.dim, self.dim))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+        k3 = kernel.reshape(self.num_heads, head_dim, self.dim).astype(self.dtype)
+        return jnp.einsum("bhld,hdo->blo", x_bhld, k3) + bias.astype(self.dtype)
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
@@ -191,6 +235,25 @@ class Attention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, l, _ = x.shape
         head_dim = self.dim // self.num_heads
+        from s2tpu.ops.flash_attention import FUSED_MAX_LEN, FUSED_MIN_LEN
+
+        if self.impl == "fused" and FUSED_MIN_LEN <= l <= FUSED_MAX_LEN:
+            # Training-grade fused attention: Pallas fwd+bwd keep the (L, L)
+            # probabilities in VMEM (XLA materializes them in f32 HBM —
+            # measured 23 ms of the 62.75 ms MAE step; scripts/profile_mae.py),
+            # and the whole block runs head-major on a PACKED qkv tensor so no
+            # transposes or per-tensor squeeze copies materialize around the
+            # kernel.
+            from s2tpu.ops.flash_attention import fused_attention_qkv
+
+            qkv = _QKVEinsum(self.dim, self.num_heads, dtype=self.dtype, name="qkv")(x)
+            if self.tp_axis:
+                qkv = _constrain(qkv, (None, self.dp_axis, self.tp_axis, None, None))
+            out = fused_attention_qkv(qkv)  # (B, H, L, Dh)
+            if self.tp_axis:
+                out = _constrain(out, (self.dp_axis, self.tp_axis, None, None))
+            return _ProjEinsum(self.dim, self.num_heads, dtype=self.dtype, name="proj")(out)
+
         qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(b, l, 3, self.num_heads, head_dim), 3, axis=2)
         q, k, v = (t.squeeze(2) for t in (q, k, v))  # (B, L, H, Dh)
@@ -199,7 +262,7 @@ class Attention(nn.Module):
             # kept on the data axis (constraints must agree with the
             # upstream dp sharding or the partitioner rematerializes)
             q, k, v = (_constrain(t, (self.dp_axis, None, self.tp_axis, None)) for t in (q, k, v))
-        if self.impl == "flash" and l >= 512:
+        if (self.impl == "fused" or self.impl == "flash") and l >= 512:
             from s2tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)

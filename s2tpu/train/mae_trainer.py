@@ -59,6 +59,13 @@ class MAETrainer:
                 num_frames=config.model.num_frames,
                 img_size=config.datamodule.random_crop_size,
             )
+            import dataclasses
+
+            model_config = dataclasses.replace(
+                model_config,
+                attention_impl=getattr(config.model, "attention_impl", "xla"),
+                norm_pix_loss=config.model.norm_pix_loss,
+            )
         self.model = PrithviMAE(model_config, dtype=dtype)
         self.model_config = model_config
 

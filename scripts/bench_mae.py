@@ -45,6 +45,9 @@ def main():
     config = mae_cfg.base_config(aoi="at")
     config.train.from_scratch = True
     config.train.compute_dtype = "bfloat16"
+    if "--attention" in sys.argv:  # e.g. --attention xla | fused
+        config.model.attention_impl = sys.argv[sys.argv.index("--attention") + 1]
+    print(f"attention_impl={config.model.attention_impl}", flush=True)
     config.datamodule.batch_size = BATCH
     config.datamodule.random_crop_size = CROP
     dm = Datamodule(

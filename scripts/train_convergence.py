@@ -12,6 +12,7 @@ Run: python scripts/train_convergence.py [--model efficientnet-unet-b5]
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import time
@@ -21,6 +22,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np
+
+# sitecustomize registers the axon TPU plugin before main() runs, so the
+# JAX_PLATFORMS env var alone cannot force CPU — mirror conftest.py and
+# switch via jax.config before the backend initializes.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/s2tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -87,17 +87,23 @@ def test_fused_attention_grads_match_reference(rng):
 
 def test_fused_attention_in_prithvi_block(rng):
     """attention_impl='fused' must reproduce the 'xla' forward through a full
-    PrithviMAE encoder (same params, same masking rng)."""
+    PrithviMAE (same params, same masking rng). Token counts chosen so both
+    the masked encoder (L=129) and the decoder (L=257) sit above
+    FUSED_MIN_LEN and actually route through the Pallas kernels — also
+    proves the einsum qkv/proj parameterization is checkpoint-compatible
+    with the Dense path (identical param trees)."""
     import dataclasses
 
     from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE
+    from s2tpu.ops.flash_attention import FUSED_MIN_LEN
 
     cfg = PrithviConfig(
-        img_size=32, patch_size=16, num_frames=1, tubelet_size=1, in_chans=6,
+        img_size=64, patch_size=4, num_frames=1, tubelet_size=1, in_chans=6,
         embed_dim=64, depth=2, num_heads=4, decoder_embed_dim=32,
         decoder_depth=1, decoder_num_heads=2,
     )
-    x = jnp.asarray(rng.normal(size=(2, 1, 32, 32, 6)).astype(np.float32))
+    assert cfg.num_patches // 2 + 1 >= FUSED_MIN_LEN  # encoder at mask 0.5
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 64, 6)).astype(np.float32))
     model = PrithviMAE(cfg)
     variables = model.init({"params": jax.random.key(0)}, x, mask_ratio=0.0)
     model_fused = PrithviMAE(dataclasses.replace(cfg, attention_impl="fused"))
