@@ -24,7 +24,7 @@ from s2tpu.data.pipeline import Datamodule
 from s2tpu.parallel import mesh as mesh_lib
 from s2tpu.train.mae_trainer import MAETrainer
 
-BATCH = 64
+BATCH = int(__import__("os").environ.get("MAE_BATCH", 64))
 CROP = 224
 
 
