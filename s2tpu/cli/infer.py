@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", default=None)
     p.add_argument("--epoch", type=int, default=None, help="checkpoint epoch (default: best/latest)")
     p.add_argument("--data-dir", default=None)
+    p.add_argument(
+        "--aot-cache", default=None, metavar="PATH",
+        help="serialized-executable artifact for the tiled program: first run "
+        "compiles and writes it, later processes deserialize instead of "
+        "compiling (serving cold-start; see s2tpu/infer/aot.py)",
+    )
     args = p.parse_args(argv)
 
     ckpt = CheckpointManager(args.ckpt_dir)
@@ -93,6 +99,7 @@ def main(argv: list[str] | None = None) -> None:
             class_maps, _ = tiled_predict_many(
                 trainer.predict_step, trainer.state, np.stack(imgs),
                 num_classes=config.num_classes, tile=config.datamodule.random_crop_size,
+                aot_cache=args.aot_cache,
             )
             for seg_id, cm, geo in zip(seg_ids, class_maps[:real], geos):
                 writer.write_class_map(seg_id, cm, geo=geo)

@@ -39,10 +39,7 @@ def hann_window(tile: int, eps: float = 1e-2) -> np.ndarray:
     return np.outer(w, w)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("predict_fn", "tile", "stride", "num_classes", "batch_size")
-)
-def _tiled_logits(
+def _tiled_logits_impl(
     predict_fn: typing.Callable,
     state,
     images: jax.Array,
@@ -106,6 +103,58 @@ def _tiled_logits(
     return acc / jnp.maximum(wsum, 1e-9)
 
 
+_tiled_logits = functools.partial(
+    jax.jit, static_argnames=("predict_fn", "tile", "stride", "num_classes", "batch_size")
+)(_tiled_logits_impl)
+
+
+def _aot_tiled_logits(
+    aot_cache: str,
+    predict_fn: typing.Callable,
+    state,
+    images: jax.Array,
+    tile: int,
+    stride: int,
+    num_classes: int,
+    batch_size: int,
+) -> jax.Array:
+    """Run the tiled program through a serialized-executable cache.
+
+    First call per (config, signature) compiles once and writes the
+    artifact; subsequent processes deserialize instead of compiling (the
+    serving cold-start path — see s2tpu/infer/aot.py).
+    """
+    from s2tpu.infer import aot as aot_lib
+
+    statics = (
+        f"tiled_logits:{getattr(predict_fn, '__qualname__', repr(predict_fn))}"
+        f":t{tile}:s{stride}:K{num_classes}:b{batch_size}"
+    )
+    art = aot_lib.load_executable(aot_cache, state, images, statics=statics)
+    if art is not None:
+        try:
+            # block so a dispatch-time failure (e.g. XLA:CPU thunks that do
+            # not survive serialization) surfaces here, not at the caller's
+            # first np.asarray — then fall through to a fresh compile.
+            return jax.block_until_ready(art(state, images))
+        except Exception as exc:
+            aot_lib.logger.info(
+                "AOT artifact %s failed at dispatch (%s) — recompiling", aot_cache, exc
+            )
+    bound = jax.jit(
+        functools.partial(
+            _tiled_logits_impl,
+            predict_fn,
+            tile=tile,
+            stride=stride,
+            num_classes=num_classes,
+            batch_size=batch_size,
+        )
+    )
+    art = aot_lib.export_jitted(aot_cache, bound, state, images, statics=statics)
+    return art(state, images)
+
+
 def tiled_predict(
     predict_fn: typing.Callable,
     state,
@@ -141,16 +190,24 @@ def tiled_predict_many(
     overlap: int = 32,
     batch_size: int = 8,
     return_logits: bool = False,
+    aot_cache: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Batched tiled prediction over (N, H, W, C) rasters.
 
     Tiles from all N segments share one prediction queue — use this for
-    whole-AOI inference so fixed per-call costs amortize.
+    whole-AOI inference so fixed per-call costs amortize. ``aot_cache``
+    names a serialized-executable artifact: matching processes deserialize
+    it (~ms) instead of compiling (minutes through a remote relay).
     """
     images = jnp.asarray(images)
     stride = tile - overlap
-    logits = _tiled_logits(
-        predict_fn, state, images, tile, stride, num_classes, batch_size
-    )
+    if aot_cache:
+        logits = _aot_tiled_logits(
+            aot_cache, predict_fn, state, images, tile, stride, num_classes, batch_size
+        )
+    else:
+        logits = _tiled_logits(
+            predict_fn, state, images, tile, stride, num_classes, batch_size
+        )
     class_maps = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.uint8))
     return class_maps, (np.asarray(logits) if return_logits else None)
