@@ -240,18 +240,27 @@ class Attention(nn.Module):
         if self.impl == "fused" and FUSED_MIN_LEN <= l <= FUSED_MAX_LEN:
             # Training-grade fused attention: Pallas fwd+bwd keep the (L, L)
             # probabilities in VMEM (XLA materializes them in f32 HBM —
-            # measured 23 ms of the 62.75 ms MAE step; scripts/profile_mae.py),
-            # and the whole block runs head-major on a PACKED qkv tensor so no
-            # transposes or per-tensor squeeze copies materialize around the
-            # kernel.
+            # measured 23 ms of the 62.75 ms MAE step; scripts/profile_mae.py).
+            if not self.tp_axis:
+                # Dense-native layout: the qkv/proj projections are ordinary
+                # (B·L, D)-major Dense matmuls and the head split happens
+                # inside the kernel as static lane slices — the head-major
+                # einsum forms measured ~7 ms/step of worse dot layouts
+                # (PERF_NOTES r3).
+                from s2tpu.ops.flash_attention import fused_attention_dense
+
+                qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
+                out = fused_attention_dense(qkv, self.num_heads)  # (B, L, D)
+                return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+            # Tensor parallelism needs heads as a real tensor axis to shard,
+            # so the packed head-major einsum form stays for tp_axis runs.
             from s2tpu.ops.flash_attention import fused_attention_qkv
 
             qkv = _QKVEinsum(self.dim, self.num_heads, dtype=self.dtype, name="qkv")(x)
-            if self.tp_axis:
-                qkv = _constrain(qkv, (None, self.dp_axis, self.tp_axis, None, None))
+            qkv = _constrain(qkv, (None, self.dp_axis, self.tp_axis, None, None))
             out = fused_attention_qkv(qkv)  # (B, H, L, Dh)
-            if self.tp_axis:
-                out = _constrain(out, (self.dp_axis, self.tp_axis, None, None))
+            out = _constrain(out, (self.dp_axis, self.tp_axis, None, None))
             return _ProjEinsum(self.dim, self.num_heads, dtype=self.dtype, name="proj")(out)
 
         qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)

@@ -298,6 +298,133 @@ def _fused_bwd_qkv(interpret, residuals, dout):
 fused_attention_qkv.defvjp(_fused_fwd_qkv, _fused_bwd_qkv)
 
 
+def _fused_fwd_dense_kernel(qkv_ref, o_ref, *, scale: float, num_heads: int):
+    """Dense-layout fused attention: qkv_ref (1, L, 3*D) exactly as
+    ``nn.Dense(3*dim)`` produces it (last axis ordered [p, h, d] — q block
+    first, then k, then v, heads contiguous within each). Head slicing moves
+    INSIDE the kernel as static lane slices, so the surrounding program is
+    two plain (B·L, D)-major matmuls — the layouts XLA schedules best. The
+    einsum-form wrapper (`_QKVEinsum`) measured ~7 ms/step of worse dot
+    layouts on the MAE decoder; this variant trades that for in-kernel lane
+    relayouts (D_h=32 slices off 128-lane tiles)."""
+    dim = qkv_ref.shape[2] // 3
+    dh = dim // num_heads
+    for i in range(num_heads):
+        q = qkv_ref[0, :, i * dh : (i + 1) * dh]  # (L, Dh)
+        k = qkv_ref[0, :, dim + i * dh : dim + (i + 1) * dh]
+        v = qkv_ref[0, :, 2 * dim + i * dh : 2 * dim + (i + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / p.sum(axis=-1, keepdims=True)
+        o_ref[0, :, i * dh : (i + 1) * dh] = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _fused_bwd_dense_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, scale: float, num_heads: int):
+    """Backward for the dense layout — same math as _fused_bwd_kernel with
+    per-head lane slices on (1, L, 3*D) / (1, L, D) refs."""
+    dim = qkv_ref.shape[2] // 3
+    dh = dim // num_heads
+    for i in range(num_heads):
+        q = qkv_ref[0, :, i * dh : (i + 1) * dh]
+        k = qkv_ref[0, :, dim + i * dh : dim + (i + 1) * dh]
+        v = qkv_ref[0, :, 2 * dim + i * dh : 2 * dim + (i + 1) * dh]
+        do = do_ref[0, :, i * dh : (i + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / p.sum(axis=-1, keepdims=True)
+        pc = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            pc, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = o_ref[0, :, i * dh : (i + 1) * dh]
+        delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dqkv_ref[0, :, i * dh : (i + 1) * dh] = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, dim + i * dh : dim + (i + 1) * dh] = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * dim + i * dh : 2 * dim + (i + 1) * dh] = dv.astype(dqkv_ref.dtype)
+
+
+def _dense_spec(l: int, c: int):
+    return pl.BlockSpec((1, l, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_attention_dense(
+    qkv: jax.Array, num_heads: int, interpret: bool | None = None
+) -> jax.Array:
+    """Fused attention on the raw ``nn.Dense(3*dim)`` output.
+
+    qkv: (B, L, 3*D) -> out (B, L, D), both in the plain token-major layout,
+    so the projections before and after are ordinary Dense matmuls with
+    XLA's preferred layouts — no head-major einsums or transposes anywhere
+    in the program. Heads are split inside the kernel (static lane slices).
+    """
+    out, _ = _fused_fwd_dense(qkv, num_heads, interpret)
+    return out
+
+
+def _fused_fwd_dense(qkv, num_heads, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, l, c3 = qkv.shape
+    assert c3 % 3 == 0 and (c3 // 3) % num_heads == 0, (c3, num_heads)
+    assert l <= FUSED_MAX_LEN, (l, "use flash_attention for long sequences")
+    dim = c3 // 3
+    scale = 1.0 / ((dim // num_heads) ** 0.5)
+    out = pl.pallas_call(
+        functools.partial(_fused_fwd_dense_kernel, scale=scale, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((b, l, dim), qkv.dtype),
+        grid=(b,),
+        in_specs=[_dense_spec(l, c3)],
+        out_specs=_dense_spec(l, dim),
+        interpret=interpret,
+    )(qkv)
+    return out, (qkv, out)
+
+
+def _fused_bwd_dense(num_heads, interpret, residuals, dout):
+    qkv, out = residuals
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, l, c3 = qkv.shape
+    dim = c3 // 3
+    scale = 1.0 / ((dim // num_heads) ** 0.5)
+    dqkv = pl.pallas_call(
+        functools.partial(_fused_bwd_dense_kernel, scale=scale, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        grid=(b,),
+        in_specs=[_dense_spec(l, c3), _dense_spec(l, dim), _dense_spec(l, dim)],
+        out_specs=_dense_spec(l, c3),
+        interpret=interpret,
+    )(qkv, out, dout)
+    return (dqkv,)
+
+
+fused_attention_dense.defvjp(_fused_fwd_dense, _fused_bwd_dense)
+
+
 def fused_attention_bhld(
     q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool | None = None
 ) -> jax.Array:

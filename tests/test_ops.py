@@ -85,6 +85,32 @@ def test_fused_attention_grads_match_reference(rng):
         )
 
 
+def test_fused_attention_dense_fwd_and_grads(rng):
+    """fused_attention_dense (head split in-kernel on the raw (B, L, 3D)
+    Dense output) vs XLA attention: forward + dqkv through the custom VJP.
+    L=197 exercises the MAE decoder geometry (D_h=32 lane slices)."""
+    from s2tpu.ops.flash_attention import fused_attention_dense
+
+    b, l, h, dh = 2, 197, 4, 32
+    dim = h * dh
+    qkv = jnp.asarray(rng.normal(size=(b, l, 3 * dim)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, l, dim)).astype(np.float32))
+
+    def ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, h, dh)
+        k = k.reshape(b, l, h, dh)
+        v = v.reshape(b, l, h, dh)
+        return _reference_attention(q, k, v).reshape(b, l, dim)
+
+    out = fused_attention_dense(qkv, h, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)), rtol=2e-4, atol=2e-5)
+
+    g1 = jax.grad(lambda x: (fused_attention_dense(x, h, True) * cot).sum())(qkv)
+    g2 = jax.grad(lambda x: (ref(x) * cot).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
+
+
 def test_fused_attention_in_prithvi_block(rng):
     """attention_impl='fused' must reproduce the 'xla' forward through a full
     PrithviMAE (same params, same masking rng). Token counts chosen so both
