@@ -405,10 +405,12 @@ class PrithviMAE(nn.Module):
         self.decoder_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="decoder_norm")
         self.decoder_pred = nn.Dense(cfg.patch_dim, dtype=self.dtype, name="decoder_pred")
 
-    def forward_encoder(
+    def encoder_pre(
         self, imgs: jax.Array, mask_ratio: float = 0.0, mask_rng: jax.Array | None = None
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """(B, T, H, W, C) -> (tokens (B, 1+L_keep, D), mask, ids_restore)."""
+        """Everything forward_encoder does before the blocks: patch embed +
+        pos + masking + cls. Split out so pipeline parallelism
+        (s2tpu.parallel.pipeline) can run the block stack externally."""
         cfg = self.config
         x = patchify(imgs.astype(self.dtype), cfg.patch_size, cfg.tubelet_size)
         x = self.patch_proj(x)
@@ -422,6 +424,17 @@ class PrithviMAE(nn.Module):
             ids_restore = jnp.broadcast_to(jnp.arange(l), (b, l))
         cls = (self.cls_token + self.pos_embed[None, :1, :]).astype(x.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[-1])), x], axis=1)
+        return x, mask, ids_restore
+
+    def encoder_post(self, x: jax.Array) -> jax.Array:
+        """Final encoder LayerNorm (pipeline-parallel counterpart hook)."""
+        return self.encoder_norm(x)
+
+    def forward_encoder(
+        self, imgs: jax.Array, mask_ratio: float = 0.0, mask_rng: jax.Array | None = None
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """(B, T, H, W, C) -> (tokens (B, 1+L_keep, D), mask, ids_restore)."""
+        x, mask, ids_restore = self.encoder_pre(imgs, mask_ratio, mask_rng)
         for block in self.encoder_blocks:
             x = block(x)
         return self.encoder_norm(x), mask, ids_restore

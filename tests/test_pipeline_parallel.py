@@ -1,0 +1,139 @@
+"""Pipeline parallelism: GPipe schedule over ViT blocks matches sequential.
+
+Reference has no pipeline support (Lightning `devices` unused — SURVEY.md §2);
+this exercises the TPU-native pp axis: stage-sharded stacked block params,
+ppermute activation rotation, microbatch schedule, forward AND backward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE
+from s2tpu.parallel import mesh as mesh_lib
+from s2tpu.parallel.pipeline import (
+    pipelined_block_apply,
+    prithvi_pipelined_encode,
+    stack_block_params,
+)
+
+BASE = dict(
+    img_size=32, patch_size=8, num_frames=1, in_chans=6, embed_dim=64, depth=4,
+    num_heads=4, decoder_embed_dim=48, decoder_depth=1, decoder_num_heads=4,
+)
+
+
+@pytest.fixture(scope="module")
+def vit():
+    model = PrithviMAE(PrithviConfig(**BASE))
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 1, 32, 32, 6)).astype(np.float32)
+    )
+    variables = jax.jit(lambda: model.init(jax.random.key(0), imgs, mask_ratio=0.0))()
+    return model, variables, imgs
+
+
+@pytest.mark.parametrize("n_micro,pipe", [(1, 4), (4, 4), (2, 2)])
+def test_pipelined_encoder_matches_sequential(vit, n_micro, pipe):
+    model, variables, imgs = vit
+    mesh = mesh_lib.make_mesh(8, model_parallel=pipe)
+
+    seq, mask_s, ids_s = jax.jit(
+        lambda v, x: model.apply(v, x, 0.0, method=PrithviMAE.forward_encoder)
+    )(variables, imgs)
+
+    @jax.jit
+    def pp(v, x):
+        return prithvi_pipelined_encode(
+            model, v, x, mesh=mesh, n_microbatches=n_micro, mask_ratio=0.0
+        )
+
+    with jax.set_mesh(mesh):
+        out, mask_p, ids_p = pp(variables, jax.device_put(imgs, mesh_lib.data_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_s))
+
+
+def test_pipelined_encoder_grads_match_sequential(vit):
+    """Backward through the pipeline (scan + ppermute transpose) must produce
+    the same parameter gradients as the sequential encoder — the gate for
+    using pp in training, not just inference."""
+    model, variables, imgs = vit
+    mesh = mesh_lib.make_mesh(8, model_parallel=4)
+    cot = jnp.asarray(
+        np.random.default_rng(1).normal(size=(8, 17, 64)).astype(np.float32)
+    )
+
+    def loss_seq(v, x):
+        out, _, _ = model.apply(v, x, 0.0, method=PrithviMAE.forward_encoder)
+        return (out * cot).sum()
+
+    def loss_pp(v, x):
+        out, _, _ = prithvi_pipelined_encode(
+            model, v, x, mesh=mesh, n_microbatches=2, mask_ratio=0.0
+        )
+        return (out * cot).sum()
+
+    g_seq = jax.jit(jax.grad(loss_seq))(variables, imgs)
+    with jax.set_mesh(mesh):
+        g_pp = jax.jit(jax.grad(loss_pp))(
+            variables, jax.device_put(imgs, mesh_lib.data_sharding(mesh))
+        )
+    flat_s = jax.tree_util.tree_leaves_with_path(g_seq)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(g_pp))
+    for path, leaf_s in flat_s:
+        leaf_p = flat_p[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf_p), np.asarray(leaf_s), rtol=2e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_pipelined_masked_encoder(vit):
+    """Masking upstream of the pipeline: same rng -> same kept tokens, and
+    the pipelined masked encoder matches the sequential one."""
+    model, variables, imgs = vit
+    mesh = mesh_lib.make_mesh(8, model_parallel=2)
+    rng = jax.random.key(7)
+    seq, mask_s, ids_s = jax.jit(
+        lambda v, x: model.apply(v, x, 0.5, rng, method=PrithviMAE.forward_encoder)
+    )(variables, imgs)
+    with jax.set_mesh(mesh):
+        out, mask_p, ids_p = jax.jit(
+            lambda v, x: prithvi_pipelined_encode(
+                model, v, x, mesh=mesh, n_microbatches=2, mask_ratio=0.5, mask_rng=rng
+            )
+        )(variables, jax.device_put(imgs, mesh_lib.data_sharding(mesh)))
+    np.testing.assert_array_equal(np.asarray(mask_p), np.asarray(mask_s))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=1e-5, atol=1e-5)
+
+
+def test_stack_block_params_roundtrip(vit):
+    model, variables, _ = vit
+    stacked = stack_block_params(variables["params"], "block_", BASE["depth"])
+    leaf = jax.tree_util.tree_leaves(stacked)[0]
+    assert leaf.shape[0] == BASE["depth"]
+    # stage 2's slice must equal block_2's original leaf
+    k2 = variables["params"]["block_2"]["attn"]["qkv"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(stacked["attn"]["qkv"]["kernel"][2]), np.asarray(k2)
+    )
+
+
+def test_pipeline_rejects_tp_combination(vit):
+    _, variables, imgs = vit
+    mesh = mesh_lib.make_mesh(8, model_parallel=2)
+    model_tp = PrithviMAE(PrithviConfig(**BASE, tp_axis=mesh_lib.MODEL_AXIS))
+    with pytest.raises(AssertionError, match="model"):
+        prithvi_pipelined_encode(
+            model_tp, variables, imgs, mesh=mesh, n_microbatches=2
+        )
+
+
+def test_pipeline_rejects_indivisible_depth(vit):
+    model, variables, imgs = vit
+    # depth=4 over 8 pipeline stages -> error
+    mesh = mesh_lib.make_mesh(8, model_parallel=8)
+    with pytest.raises(AssertionError, match="divisible"):
+        prithvi_pipelined_encode(model, variables, imgs, mesh=mesh, n_microbatches=2)
