@@ -45,6 +45,16 @@ def main(argv: list[str] | None = None) -> None:
         "compiles and writes it, later processes deserialize instead of "
         "compiling (serving cold-start; see s2tpu/infer/aot.py)",
     )
+    p.add_argument(
+        "--int8", action="store_true",
+        help="post-training int8 quantized serving: calibrates activation "
+        "ranges on a few training batches, then runs every Dense/Conv as "
+        "int8 x int8 -> int32 on the MXU (s2tpu/infer/quantize.py)",
+    )
+    p.add_argument(
+        "--calib-batches", type=int, default=2,
+        help="calibration batches for --int8 activation ranges",
+    )
     args = p.parse_args(argv)
 
     ckpt = CheckpointManager(args.ckpt_dir)
@@ -74,6 +84,15 @@ def main(argv: list[str] | None = None) -> None:
     out_dir = Path(args.out) if args.out else OUT_DIR / Path(args.ckpt_dir).name
     writer = PredictionWriter(out_dir)
 
+    predict_fn, predict_state = trainer.predict_step, trainer.state
+    if args.int8:
+        from s2tpu.infer.quantize import quantize_segmentation_trainer
+
+        predict_fn, predict_state = quantize_segmentation_trainer(
+            trainer, n_batches=args.calib_batches
+        )
+        logger.info(f"int8 serving: calibrated on {args.calib_batches} batches")
+
     if args.tiled:
         from s2tpu.infer.tiled import tiled_predict_many
 
@@ -97,7 +116,7 @@ def main(argv: list[str] | None = None) -> None:
             while len(imgs) < group:
                 imgs.append(np.zeros_like(imgs[0]))
             class_maps, _ = tiled_predict_many(
-                trainer.predict_step, trainer.state, np.stack(imgs),
+                predict_fn, predict_state, np.stack(imgs),
                 num_classes=config.num_classes, tile=config.datamodule.random_crop_size,
                 aot_cache=args.aot_cache,
             )
@@ -106,7 +125,7 @@ def main(argv: list[str] | None = None) -> None:
         logger.info(f"Wrote {len(indices)} tiled class maps to {out_dir}")
     else:
         for batch in dm.eval_batches(args.split):
-            logits = trainer.predict_step(trainer.state, jax.numpy.asarray(batch.images))
+            logits = predict_fn(predict_state, jax.numpy.asarray(batch.images))
             writer.write_batch(np.asarray(logits)[batch.mask])
         logger.info(f"Wrote batch logits to {out_dir}")
 

@@ -54,26 +54,38 @@ def main():
 
     from s2tpu.infer.tiled import tiled_predict_many
 
+    modes = {"bf16": (trainer.predict_step, trainer.state)}
+    if "--int8" in sys.argv or "--both" in sys.argv:
+        from s2tpu.infer.quantize import quantize_segmentation_trainer
+
+        modes["int8"] = quantize_segmentation_trainer(trainer, n_batches=1)
+        if "--both" not in sys.argv:
+            del modes["bf16"]
+
     batch_imgs = jnp.asarray(src.images)  # 4 segments per call
-    # warmup/compile
-    class_maps, _ = tiled_predict_many(
-        trainer.predict_step, trainer.state, batch_imgs, num_classes=4,
-        tile=224, overlap=32, batch_size=12,
-    )
-    n_rep = 8
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        class_maps, _ = tiled_predict_many(
-            trainer.predict_step, trainer.state, batch_imgs, num_classes=4,
-            tile=224, overlap=32, batch_size=12,
+    n_rep, n_rounds = 8, 3  # interleave modes across rounds: relay noise is
+    # large (~±20% wall), so report the best round per mode
+    best: dict[str, float] = {}
+    for mode, (predict_fn, state) in modes.items():  # warmup/compile
+        tiled_predict_many(
+            predict_fn, state, batch_imgs, num_classes=4, tile=224, overlap=32, batch_size=12
         )
-    elapsed = time.perf_counter() - t0
-    seg_per_sec = n_rep * len(src) / elapsed
-    print(
-        f"tiled inference: {seg_per_sec:.2f} segments/s = "
-        f"{seg_per_sec * KM2_PER_SEGMENT:.1f} km²/s "
-        f"(512² segments, B5, 224-tile, 32 overlap, 4-segment groups)"
-    )
+    for _ in range(n_rounds):
+        for mode, (predict_fn, state) in modes.items():
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                class_maps, _ = tiled_predict_many(
+                    predict_fn, state, batch_imgs, num_classes=4,
+                    tile=224, overlap=32, batch_size=12,
+                )
+            elapsed = time.perf_counter() - t0
+            best[mode] = max(best.get(mode, 0.0), n_rep * len(src) / elapsed)
+    for mode, seg_per_sec in best.items():
+        print(
+            f"tiled inference [{mode}]: {seg_per_sec:.2f} segments/s = "
+            f"{seg_per_sec * KM2_PER_SEGMENT:.1f} km²/s "
+            f"(512² segments, B5, 224-tile, 32 overlap, 4-segment groups; best of {n_rounds})"
+        )
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ from s2tpu.utils import load_prithvi_model_args
 KM2_PER_PIXEL = 1e-4  # 10 m x 10 m
 
 
-def bench(tile: int, batch: int, impl: str) -> None:
+def bench(tile: int, batch: int, impl: str, int8: bool = False) -> None:
     args = load_prithvi_model_args()
     backbone = PrithviConfig.from_model_args(args, num_frames=1, img_size=tile)
     backbone = type(backbone)(**{**backbone.__dict__, "attention_impl": impl})
@@ -37,11 +37,30 @@ def bench(tile: int, batch: int, impl: str) -> None:
     x = jnp.zeros((batch, 1, tile, tile, 6), jnp.bfloat16)
     variables = jax.jit(lambda: model.init(jax.random.key(0), x, train=False))()
 
-    # Reduce to one scalar and fetch it: on the remote-device transport,
-    # block_until_ready alone has returned early for dispatch-only graphs.
-    fwd = jax.jit(
-        lambda v, x: jnp.argmax(model.apply(v, x, train=False), axis=-1).sum()
-    )
+    if int8:
+        from s2tpu.infer.quantize import (
+            collect_input_maxabs, quantize_weights, quantized_apply,
+        )
+
+        xc = jnp.asarray(
+            np.random.default_rng(0).normal(size=x.shape).astype(np.float32), jnp.bfloat16
+        )
+        vals = jax.jit(
+            lambda v, x: collect_input_maxabs(model, v, x, train=False)
+        )(variables, xc)
+        scales = {p: float(v) / 127.0 for p, v in vals.items() if float(v) > 0}
+        qstate = quantize_weights(variables["params"], scales)
+        fwd = jax.jit(
+            lambda v, x: jnp.argmax(
+                quantized_apply(model, v, qstate, x, train=False), axis=-1
+            ).sum()
+        )
+    else:
+        # Reduce to one scalar and fetch it: on the remote-device transport,
+        # block_until_ready alone has returned early for dispatch-only graphs.
+        fwd = jax.jit(
+            lambda v, x: jnp.argmax(model.apply(v, x, train=False), axis=-1).sum()
+        )
     _ = int(fwd(variables, x))
     t0 = time.perf_counter()
     steps = 10
@@ -51,13 +70,17 @@ def bench(tile: int, batch: int, impl: str) -> None:
     dt = (time.perf_counter() - t0) / steps
     px_per_s = batch * tile * tile / dt
     print(
-        f"tile={tile} bs={batch} attn={impl}: {dt*1e3:7.2f} ms/batch  "
+        f"tile={tile} bs={batch} attn={impl}{' int8' if int8 else ''}: {dt*1e3:7.2f} ms/batch  "
         f"{px_per_s * KM2_PER_PIXEL:8.1f} km^2/s",
         flush=True,
     )
 
 
 if __name__ == "__main__":
-    bench(224, 32, "xla")
-    bench(512, 8, "xla")
-    bench(512, 8, "flash")
+    int8_only = "--int8" in sys.argv
+    if not int8_only:
+        bench(224, 32, "xla")
+        bench(512, 8, "xla")
+        bench(512, 8, "flash")
+    bench(224, 32, "xla", int8=True)
+    bench(512, 8, "flash", int8=True)
