@@ -56,6 +56,12 @@ def main() -> None:
         "that multi-chip training converges identically to single-device)",
     )
     p.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "MIOU.json"))
+    p.add_argument(
+        "--int8-eval", action="store_true",
+        help="after convergence, re-run the val pass through the int8 PTQ "
+        "serving path (s2tpu/infer/quantize.py) and record int8_val_iou "
+        "next to the float anchor — the accuracy evidence for --int8 serving",
+    )
     args = p.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="s2tpu_conv_")
@@ -90,6 +96,27 @@ def main() -> None:
     history = trainer.fit(epochs=args.epochs)
     elapsed = time.time() - t0
     best = max(history, key=lambda h: h.get("val/iou", -1.0))
+
+    int8_iou = None
+    if args.int8_eval:
+        import jax.numpy as jnp
+
+        from s2tpu.infer.quantize import quantize_segmentation_trainer
+        from s2tpu.train import metrics as metrics_lib
+
+        predict_q, qstate = quantize_segmentation_trainer(trainer, n_batches=2)
+        pq = jax.jit(predict_q)
+        ignore = 0 if config.train.masked_loss else None
+        acc = metrics_lib.MetricAccumulator(config.num_classes)
+        for batch in dm.eval_batches("val"):
+            logits = pq(qstate, jnp.asarray(batch.images))
+            cm = metrics_lib.confusion_matrix_update(
+                jnp.argmax(logits, axis=-1), jnp.asarray(batch.labels),
+                config.num_classes, ignore_index=ignore,
+                batch_mask=jnp.asarray(batch.mask, jnp.float32),
+            )
+            acc.update(np.asarray(cm))
+        int8_iou = acc.compute()["iou"]
     record = {
         "model": args.model,
         "label_map": args.label_map,
@@ -103,6 +130,7 @@ def main() -> None:
         "best_val_acc": round(best.get("val/accuracy", float("nan")), 4),
         "best_val_f1": round(best.get("val/f1", float("nan")), 4),
         "best_epoch": best["epoch"],
+        **({"int8_val_iou": round(int8_iou, 4)} if int8_iou is not None else {}),
         "final_train_loss": round(history[-1].get("train/loss", float("nan")), 4),
         "train_images_per_sec": round(history[-1].get("train/images_per_sec", 0.0), 1),
         "wall_clock_s": round(elapsed, 1),

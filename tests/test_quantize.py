@@ -49,6 +49,7 @@ def test_quantized_conv_strided_padded(rng):
     assert _rel_err(out_q, out_f) < 0.02
 
 
+@pytest.mark.slow
 def test_unet_quantized_forward(rng):
     """B0 UNet: every nn.Dense/nn.Conv runs int8; logits stay close to float
     (per-tensor activation + per-channel weight quant, in-sample ranges)."""
@@ -98,6 +99,7 @@ def test_prithvi_quantized_encoder(rng):
     assert err < 0.1, f"quantized ViT encoder diverged: rel_err={err:.4f}"
 
 
+@pytest.mark.slow
 def test_quantized_tiled_serving_end_to_end(tmp_path):
     """quantize_segmentation_trainer -> tiled_predict_many: the full int8
     serving path (calibrate from the datamodule, quantized predict_fn,
