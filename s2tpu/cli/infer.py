@@ -119,6 +119,8 @@ def main(argv: list[str] | None = None) -> None:
                 predict_fn, predict_state, np.stack(imgs),
                 num_classes=config.num_classes, tile=config.datamodule.random_crop_size,
                 aot_cache=args.aot_cache,
+                # multi-chip serving: segments sharded over the data axis
+                mesh=trainer.mesh if n_dev > 1 and not args.aot_cache else None,
             )
             for seg_id, cm, geo in zip(seg_ids, class_maps[:real], geos):
                 writer.write_class_map(seg_id, cm, geo=geo)

@@ -191,6 +191,8 @@ def tiled_predict_many(
     batch_size: int = 8,
     return_logits: bool = False,
     aot_cache: str | None = None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Batched tiled prediction over (N, H, W, C) rasters.
 
@@ -198,10 +200,40 @@ def tiled_predict_many(
     whole-AOI inference so fixed per-call costs amortize. ``aot_cache``
     names a serialized-executable artifact: matching processes deserialize
     it (~ms) instead of compiling (minutes through a remote relay).
+
+    ``mesh`` enables multi-chip serving: segments are sharded over the
+    mesh's ``data_axis`` (state replicated) and every chip runs its own
+    independent tile queue under one ``shard_map`` — embarrassingly
+    parallel, zero collectives. N is zero-padded to a device multiple.
     """
     images = jnp.asarray(images)
     stride = tile - overlap
-    if aot_cache:
+    n = images.shape[0]
+    if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+        assert aot_cache is None, "aot_cache is a single-program path; use it per-host"
+        d = mesh.shape[data_axis]
+        pad = (-n) % d
+        if pad:
+            images = jnp.concatenate([images, jnp.zeros((pad,) + images.shape[1:], images.dtype)])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec_state = jax.tree_util.tree_map(lambda _: P(), state)
+        sharded = jax.jit(
+            jax.shard_map(
+                lambda st, imgs: _tiled_logits_impl(
+                    predict_fn, st, imgs, tile, stride, num_classes, batch_size
+                ),
+                mesh=mesh,
+                in_specs=(spec_state, P(data_axis)),
+                out_specs=P(data_axis),
+                check_vma=False,
+            )
+        )
+        logits = sharded(
+            jax.device_put(state, NamedSharding(mesh, P())),
+            jax.device_put(images, NamedSharding(mesh, P(data_axis))),
+        )[:n]
+    elif aot_cache:
         logits = _aot_tiled_logits(
             aot_cache, predict_fn, state, images, tile, stride, num_classes, batch_size
         )

@@ -60,6 +60,35 @@ def test_tiled_predict_covers_edges():
     assert np.isfinite(logits).all()
 
 
+def test_tiled_predict_many_sharded_matches_single():
+    """mesh= shards segments over 'data' (state replicated, per-chip tile
+    queues, zero collectives); results must equal the single-device path
+    exactly, including the zero-padded remainder handling (6 segs on 8
+    devices)."""
+    import jax
+    from s2tpu.parallel import mesh as mesh_lib
+
+    def predict_fn(state, tiles):
+        base = tiles.astype(jnp.float32).mean(axis=-1, keepdims=True)
+        return base + state["bias"][None, None, None, :]
+
+    state = {"bias": jnp.asarray([0.0, 0.5, 1.0], jnp.float32)}
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 100, size=(6, 96, 96, 2)).astype(np.int16)
+
+    cm_1, lg_1 = tiled_predict_many(
+        predict_fn, state, images, num_classes=3, tile=32, overlap=8,
+        batch_size=4, return_logits=True,
+    )
+    mesh = mesh_lib.make_mesh(8)
+    cm_8, lg_8 = tiled_predict_many(
+        predict_fn, state, images, num_classes=3, tile=32, overlap=8,
+        batch_size=4, return_logits=True, mesh=mesh,
+    )
+    np.testing.assert_array_equal(cm_8, cm_1)
+    np.testing.assert_allclose(lg_8, lg_1, rtol=1e-6, atol=1e-6)
+
+
 def test_prediction_writer(tmp_path):
     w = PredictionWriter(tmp_path)
     p1 = w.write_batch(np.zeros((2, 8, 8, 4), np.float32))
