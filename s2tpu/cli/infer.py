@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> None:
         help="calibration batches for --int8 activation ranges",
     )
     args = p.parse_args(argv)
+    if args.int8 and args.aot_cache:
+        p.error(
+            "--aot-cache is incompatible with --int8: the quantized weights "
+            "are compile-time constants in the serialized executable, and the "
+            "artifact fingerprint cannot distinguish checkpoints/calibrations "
+            "— a stale artifact would silently serve old weights"
+        )
 
     ckpt = CheckpointManager(args.ckpt_dir)
     cfg_dict = ckpt.load_config()

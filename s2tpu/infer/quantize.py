@@ -47,12 +47,22 @@ def _path_str(module: nn.Module) -> str:
 # ---------------------------------------------------------------------------
 # calibration
 # ---------------------------------------------------------------------------
-def collect_input_maxabs(model: nn.Module, variables: dict, *args, **kwargs) -> dict[str, jax.Array]:
-    """One forward pass returning {layer_path: max|input|} as traced scalars.
+def scales_from_maxabs(maxabs: dict[str, float]) -> dict[str, float]:
+    """Per-layer symmetric activation scale: maxabs/127 (0-input layers are
+    dropped — quantizing an all-zero input is meaningless). The single source
+    of the scale convention for every calibration path."""
+    return {p: v / 127.0 for p, v in maxabs.items() if v > 0.0}
+
+
+def collect_forward_maxabs(forward: typing.Callable[[], typing.Any]) -> dict[str, jax.Array]:
+    """Run ``forward()`` once under a recording interceptor and return
+    {layer_path: max|input|} as traced scalars.
 
     Interception happens at TRACE time, so this whole function can sit under
     ``jax.jit`` — one compiled program per calibration batch shape instead of
     op-by-op eager dispatch (which costs minutes through a remote-TPU relay).
+    ``forward`` is any callable that applies the model (e.g. a bound
+    ``model.apply`` or a trainer's predict function).
     """
     vals: dict[str, jax.Array] = {}
 
@@ -67,8 +77,13 @@ def collect_input_maxabs(model: nn.Module, variables: dict, *args, **kwargs) -> 
         return next_fn(*args_, **kwargs_)
 
     with nn.intercept_methods(interceptor):
-        model.apply(variables, *args, **kwargs)
+        forward()
     return vals
+
+
+def collect_input_maxabs(model: nn.Module, variables: dict, *args, **kwargs) -> dict[str, jax.Array]:
+    """`collect_forward_maxabs` over a plain ``model.apply`` forward."""
+    return collect_forward_maxabs(lambda: model.apply(variables, *args, **kwargs))
 
 
 class ActivationRecorder:
@@ -100,9 +115,7 @@ class ActivationRecorder:
         return nn.intercept_methods(self._interceptor)
 
     def scales(self) -> dict[str, float]:
-        """Per-layer symmetric activation scale: maxabs/127 (0-input layers
-        are dropped — quantizing an all-zero input is meaningless)."""
-        return {p: v / 127.0 for p, v in self.maxabs.items() if v > 0.0}
+        return scales_from_maxabs(self.maxabs)
 
 
 # ---------------------------------------------------------------------------
@@ -250,29 +263,22 @@ def quantize_segmentation_trainer(trainer, n_batches: int = 2):
 
     Returns (predict_fn, state) matching the ``tiled_predict_many`` contract:
     ``predict_fn(state, tiles)`` maps raw-DN NHWC tiles to logits with every
-    calibrated Dense/Conv in int8. Calibration streams ``n_batches`` training
-    batches through the float model (eager, one-off).
+    calibrated Dense/Conv in int8. Both calibration and serving route through
+    ``trainer._predict`` (the float serving path) under interception, so the
+    preprocessing and numerics conventions have exactly one definition.
+    The returned fn is jit'd; the returned state is the trainer state with
+    the optimizer moments stripped (serving never reads them, and a
+    multi-chip mesh would otherwise replicate ~2x params of dead weight).
     """
-    from s2tpu.data.augment import normalize
-
-    def prep(images):
-        x = normalize(
-            images, trainer.mean, trainer.std,
-            dtype=trainer.compute_dtype, s2d=trainer._s2d_input,
-        )
-        return trainer._model_input(x)
-
-    variables = {"params": trainer.state.params}
-    if trainer.state.batch_stats:
-        variables["batch_stats"] = trainer.state.batch_stats
+    state = trainer.state.replace(opt_state=())
 
     collect = jax.jit(
-        lambda v, imgs: collect_input_maxabs(trainer.model, v, prep(imgs), train=False)
+        lambda st, imgs: collect_forward_maxabs(lambda: trainer._predict(st, imgs))
     )
     maxabs: dict[str, float] = {}
     seen = 0
     for batch in trainer.dm.train_batches(epoch=0):
-        for p, v in collect(variables, jnp.asarray(batch.images)).items():
+        for p, v in collect(state, jnp.asarray(batch.images)).items():
             maxabs[p] = max(maxabs.get(p, 0.0), float(v))
         seen += 1
         if seen >= n_batches:
@@ -283,22 +289,23 @@ def quantize_segmentation_trainer(trainer, n_batches: int = 2):
         crop = trainer.config.datamodule.random_crop_size
         xs = []
         for i in range(len(trainer.dm.source)):
-            img = np.asarray(trainer.dm.source[i].x)
-            if img.ndim == 4:  # (T, H, W, C): calibrate on the first frame
-                img = img[0]
-            h0, w0 = (img.shape[0] - crop) // 2, (img.shape[1] - crop) // 2
-            xs.append(img[h0 : h0 + crop, w0 : w0 + crop])
-        for p, v in collect(variables, jnp.asarray(np.stack(xs))).items():
+            img = np.asarray(trainer.dm.source[i].x)  # (H, W, C) or (T, H, W, C)
+            h, w = img.shape[-3], img.shape[-2]
+            assert h >= crop and w >= crop, (
+                f"calibration segment {i} is {h}x{w}, smaller than the model "
+                f"crop {crop} — provide a training batch or larger segments"
+            )
+            h0, w0 = (h - crop) // 2, (w - crop) // 2
+            xs.append(img[..., h0 : h0 + crop, w0 : w0 + crop, :])
+        for p, v in collect(state, jnp.asarray(np.stack(xs))).items():
             maxabs[p] = max(maxabs.get(p, 0.0), float(v))
         seen = 1
     assert seen > 0, "no calibration batches available"
-    scales = {p: v / 127.0 for p, v in maxabs.items() if v > 0.0}
-    qstate = quantize_weights(variables["params"], scales)
+    qstate = quantize_weights(trainer.state.params, scales_from_maxabs(maxabs))
 
+    @jax.jit
     def predict_fn(state, images):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        return quantized_apply(trainer.model, variables, qstate, prep(images), train=False)
+        with nn.intercept_methods(make_quant_interceptor(qstate)):
+            return trainer._predict(state, images)
 
-    return predict_fn, trainer.state
+    return predict_fn, state

@@ -192,7 +192,7 @@ def tiled_predict_many(
     return_logits: bool = False,
     aot_cache: str | None = None,
     mesh=None,
-    data_axis: str = "data",
+    data_axis: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Batched tiled prediction over (N, H, W, C) rasters.
 
@@ -209,6 +209,8 @@ def tiled_predict_many(
     images = jnp.asarray(images)
     stride = tile - overlap
     n = images.shape[0]
+    if data_axis is None:
+        from s2tpu.parallel.mesh import DATA_AXIS as data_axis  # noqa: PLW0127
     if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
         assert aot_cache is None, "aot_cache is a single-program path; use it per-host"
         d = mesh.shape[data_axis]

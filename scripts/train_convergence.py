@@ -105,11 +105,13 @@ def main() -> None:
         from s2tpu.train import metrics as metrics_lib
 
         predict_q, qstate = quantize_segmentation_trainer(trainer, n_batches=2)
-        pq = jax.jit(predict_q)
         ignore = 0 if config.train.masked_loss else None
         acc = metrics_lib.MetricAccumulator(config.num_classes)
+        # Float val on the SAME (final) state, so the int8 comparison is
+        # apples-to-apples (best_val_iou may come from an earlier epoch).
+        final_float = trainer.run_eval_epoch("val")
         for batch in dm.eval_batches("val"):
-            logits = pq(qstate, jnp.asarray(batch.images))
+            logits = predict_q(qstate, jnp.asarray(batch.images))
             cm = metrics_lib.confusion_matrix_update(
                 jnp.argmax(logits, axis=-1), jnp.asarray(batch.labels),
                 config.num_classes, ignore_index=ignore,
@@ -117,6 +119,7 @@ def main() -> None:
             )
             acc.update(np.asarray(cm))
         int8_iou = acc.compute()["iou"]
+        final_float_iou = final_float["iou"]
     record = {
         "model": args.model,
         "label_map": args.label_map,
@@ -130,7 +133,14 @@ def main() -> None:
         "best_val_acc": round(best.get("val/accuracy", float("nan")), 4),
         "best_val_f1": round(best.get("val/f1", float("nan")), 4),
         "best_epoch": best["epoch"],
-        **({"int8_val_iou": round(int8_iou, 4)} if int8_iou is not None else {}),
+        **(
+            {
+                "int8_val_iou": round(int8_iou, 4),
+                "final_float_val_iou": round(final_float_iou, 4),
+            }
+            if int8_iou is not None
+            else {}
+        ),
         "final_train_loss": round(history[-1].get("train/loss", float("nan")), 4),
         "train_images_per_sec": round(history[-1].get("train/images_per_sec", 0.0), 1),
         "wall_clock_s": round(elapsed, 1),
