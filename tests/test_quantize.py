@@ -99,6 +99,39 @@ def test_prithvi_quantized_encoder(rng):
     assert err < 0.1, f"quantized ViT encoder diverged: rel_err={err:.4f}"
 
 
+def test_prithvi_segmentation_net_quantized(rng):
+    """Full fc-prithvi serving model: backbone Denses + FCN nn.Conv quantize;
+    the neck's ConvTranspose layers correctly stay float (not in
+    QUANT_MODULE_TYPES); logits stay close."""
+    from s2tpu.models.prithvi_mae import PrithviConfig
+    from s2tpu.models.prithvi_seg import PrithviSegmentationConfig, PrithviSegmentationNet
+
+    backbone = PrithviConfig(
+        img_size=32, patch_size=8, num_frames=1, in_chans=6, embed_dim=64, depth=2,
+        num_heads=4, decoder_embed_dim=48, decoder_depth=1, decoder_num_heads=4,
+    )
+    cfg = PrithviSegmentationConfig(
+        num_frames=1, num_classes=4, frozen_backbone=False, embed_dim=64,
+        patch_height=4, patch_width=4, backbone=backbone, fcn_out_channels=32,
+    )
+    model = PrithviSegmentationNet(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 1, 32, 32, 6)).astype(np.float32))
+    variables = jax.jit(lambda: model.init(jax.random.key(0), x, train=False))()
+
+    rec = ActivationRecorder()
+    with rec.recording():
+        model.apply(variables, x, train=False)
+    scales = rec.scales()
+    qstate = quantize_weights(variables["params"], scales)
+    assert any("qkv" in p for p in qstate), "backbone attention not calibrated"
+    assert not any("up" in p.lower() and "transpose" in p.lower() for p in qstate)
+
+    out_f = model.apply(variables, x, train=False)
+    out_q = jax.jit(lambda v, x: quantized_apply(model, v, qstate, x, train=False))(variables, x)
+    err = _rel_err(out_q, out_f)
+    assert err < 0.1, f"quantized fc-prithvi logits diverged: rel_err={err:.4f}"
+
+
 @pytest.mark.slow
 def test_quantized_tiled_serving_end_to_end(tmp_path):
     """quantize_segmentation_trainer -> tiled_predict_many: the full int8
