@@ -44,6 +44,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--grad-accum", type=int, default=None, help="microbatches per optimizer update")
     p.add_argument(
+        "--pp", type=int, default=None, metavar="STAGES",
+        help="pipeline-parallel encoder stages over the mesh's 'model' axis "
+        "(GPipe microbatch schedule; --num-devices must be divisible by it)",
+    )
+    p.add_argument(
+        "--pp-microbatches", type=int, default=None,
+        help="microbatches per pipeline schedule (default 2)",
+    )
+    p.add_argument(
         "--device-corpus", action="store_true",
         help="upload the unlabeled corpus to HBM once; crop on device",
     )
@@ -90,6 +99,10 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
         dmc.dataset_cfg.n_time_frames = args.num_frames
     if args.mask_ratio is not None:
         config.model.mask_ratio = args.mask_ratio
+    if args.pp:
+        config.model.pipeline_stages = args.pp
+    if args.pp_microbatches:
+        config.model.pipeline_microbatches = args.pp_microbatches
     t.run_name = get_unique_run_name(name=args.name, postfix=t.project_name)
     t.wandb_entity = os.getenv("WANDB_ENTITY")
     return config

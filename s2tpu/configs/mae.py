@@ -50,6 +50,14 @@ class MAEModelConfig:
     # ms/step of materialized-softmax traffic + padded per-head matmuls at
     # L=197). "xla" = jax.nn.dot_product_attention.
     attention_impl: str = "fused"
+    # Pipeline parallelism: >1 stages the encoder blocks over the mesh's
+    # 'model' axis (GPipe microbatch schedule, s2tpu/parallel/pipeline.py).
+    # Requires mesh model-axis size == pipeline_stages and depth %
+    # pipeline_stages == 0; mutually exclusive with tensor parallelism.
+    pipeline_stages: int = 1
+    # Microbatches per pipeline tick-schedule (bubble = (S-1)/(M+S-1)).
+    # The per-data-shard batch must be divisible by this.
+    pipeline_microbatches: int = 2
 
 
 @dataclass

@@ -172,3 +172,45 @@ def prithvi_pipelined_encode(
     )
     x = model.apply(variables, x, method=PrithviMAE.encoder_post)
     return x, mask, ids_restore
+
+
+def prithvi_pipelined_mae_forward(
+    model,
+    variables: dict,
+    imgs: jax.Array,
+    *,
+    mesh: Mesh,
+    n_microbatches: int,
+    pipe_axis: str = MODEL_AXIS,
+    data_axis: str | None = DATA_AXIS,
+    mask_ratio: float = 0.75,
+    mask_rng: jax.Array | None = None,
+):
+    """Full MAE forward (loss, pred, mask) with the encoder pipelined.
+
+    Drop-in replacement for ``PrithviMAE.__call__`` used by the MAE train
+    step under pipeline parallelism: the 12-block encoder (the bulk of the
+    masked-forward FLOPs) runs as pipe stages over the 'model' axis; the
+    decoder and loss run replicated (every stage computes them — the
+    standard cost of pipelining only part of the net). Differentiable end
+    to end; tests assert train-step equality against the sequential model.
+    """
+    from s2tpu.models.prithvi_mae import PrithviMAE, patchify
+    from s2tpu.train.losses import mae_reconstruction_loss
+
+    latent, mask, ids_restore = prithvi_pipelined_encode(
+        model,
+        variables,
+        imgs,
+        mesh=mesh,
+        n_microbatches=n_microbatches,
+        pipe_axis=pipe_axis,
+        data_axis=data_axis,
+        mask_ratio=mask_ratio,
+        mask_rng=mask_rng,
+    )
+    pred = model.apply(variables, latent, ids_restore, method=PrithviMAE.forward_decoder)
+    cfg = model.config
+    target = patchify(imgs, cfg.patch_size, cfg.tubelet_size)
+    loss = mae_reconstruction_loss(pred, target, mask, norm_pix=cfg.norm_pix_loss)
+    return loss, pred, mask

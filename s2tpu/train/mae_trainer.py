@@ -44,7 +44,12 @@ class MAETrainer:
     ) -> None:
         self.config = config
         self.dm = datamodule
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(config.train.num_devices)
+        if mesh is None:
+            # pipeline_stages > 1 needs a matching model-axis; otherwise the
+            # default pure-data mesh.
+            pp_stages = max(getattr(config.model, "pipeline_stages", 1), 1)
+            mesh = mesh_lib.make_mesh(config.train.num_devices, model_parallel=pp_stages)
+        self.mesh = mesh
         self.mask_ratio = config.model.mask_ratio if config.model.mask_ratio is not None else mask_ratio
         self.run_logger = run_logger
         self.ckpt = checkpoint_manager
@@ -142,6 +147,32 @@ class MAETrainer:
         accum = max(cfg.train.grad_accum_steps, 1)
         watch = self.run_logger is not None and cfg.train.watch_interval > 0
 
+        pp = max(getattr(cfg.model, "pipeline_stages", 1), 1)
+        if pp > 1:
+            assert self.mesh.shape[mesh_lib.MODEL_AXIS] == pp, (
+                f"pipeline_stages={pp} needs a mesh with model-axis size {pp}, "
+                f"got {dict(self.mesh.shape)}"
+            )
+            assert self.model_config.tp_axis is None, (
+                "pipeline and tensor parallelism both use the 'model' axis — "
+                "configure one per run"
+            )
+
+        def model_forward(params, x, mask_key):
+            """(loss, pred, mask) — sequential, or encoder-pipelined when
+            pipeline_stages > 1 (s2tpu/parallel/pipeline.py)."""
+            if pp <= 1:
+                return model.apply(
+                    {"params": params}, x, mask_ratio=mask_ratio, mask_rng=mask_key
+                )
+            from s2tpu.parallel.pipeline import prithvi_pipelined_mae_forward
+
+            return prithvi_pipelined_mae_forward(
+                model, {"params": params}, x, mesh=self.mesh,
+                n_microbatches=getattr(cfg.model, "pipeline_microbatches", 2),
+                mask_ratio=mask_ratio, mask_rng=mask_key,
+            )
+
         def micro_grads(params, images, micro_rng):
             aug_key, mask_key = jax.random.split(micro_rng)
             x, _ = augment_batch(
@@ -151,9 +182,7 @@ class MAETrainer:
             x = x[:, None] if x.ndim == 4 else x  # add T axis
 
             def loss_fn(params):
-                loss, _, _ = model.apply(
-                    {"params": params}, x, mask_ratio=mask_ratio, mask_rng=mask_key
-                )
+                loss, _, _ = model_forward(params, x, mask_key)
                 return loss
 
             return jax.value_and_grad(loss_fn)(params)
@@ -203,9 +232,7 @@ class MAETrainer:
                 images, None, rng, self.mean, self.std, dtype=self.compute_dtype, train=False
             )
             x = x[:, None] if x.ndim == 4 else x
-            _, pred, mask = model.apply(
-                {"params": state.params}, x, mask_ratio=mask_ratio, mask_rng=rng
-            )
+            _, pred, mask = model_forward(state.params, x, rng)
             # Recompute the loss with padded rows excluded from numerator AND
             # denominator — the model-internal mean includes padded zero
             # images, so weighting that scalar afterwards would not remove
