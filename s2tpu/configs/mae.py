@@ -45,10 +45,11 @@ class MAEModelConfig:
     mask_ratio: float = 0.75
     norm_pix_loss: bool = False
     # "fused" = Pallas fused-attention kernels (fwd+bwd, probabilities stay
-    # in VMEM) for L >= 128 — measured 1143.9 vs 970.6 img/s (+18%) on the
-    # v5e MAE pretrain step vs "xla" (scripts/profile_mae.py found 23
-    # ms/step of materialized-softmax traffic + padded per-head matmuls at
-    # L=197). "xla" = jax.nn.dot_product_attention.
+    # in VMEM, dense-native qkv layout) for L >= 128 — measured 1229.2 vs
+    # 970.6 img/s (+27%) on the v5e MAE pretrain step vs "xla"
+    # (scripts/profile_mae.py found 23 ms/step of materialized-softmax
+    # traffic + padded per-head matmuls at L=197; PERF_NOTES r3 has the
+    # variant-by-variant history). "xla" = jax.nn.dot_product_attention.
     attention_impl: str = "fused"
     # Pipeline parallelism: >1 stages the encoder blocks over the mesh's
     # 'model' axis (GPipe microbatch schedule, s2tpu/parallel/pipeline.py).
