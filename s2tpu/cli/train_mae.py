@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--grad-accum", type=int, default=None, help="microbatches per optimizer update")
     p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize block activations in the backward pass (HBM for FLOPs)",
+    )
+    p.add_argument(
         "--pp", type=int, default=None, metavar="STAGES",
         help="pipeline-parallel encoder stages over the mesh's 'model' axis "
         "(GPipe microbatch schedule; --num-devices must be divisible by it)",
@@ -92,6 +96,7 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
     t.tags.extend(args.tags)
     t.seed = args.seed if args.seed is not None else t.seed
     t.grad_accum_steps = args.grad_accum or t.grad_accum_steps
+    t.remat = args.remat or t.remat
     t.device_corpus = args.device_corpus or args.device_corpus_sharded or t.device_corpus
     t.device_corpus_sharded = args.device_corpus_sharded or t.device_corpus_sharded
     if args.num_frames:

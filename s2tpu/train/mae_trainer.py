@@ -173,6 +173,12 @@ class MAETrainer:
                 mask_ratio=mask_ratio, mask_rng=mask_key,
             )
 
+        # remat: recompute block activations in the backward pass instead of
+        # saving them — trades FLOPs for HBM (large crops / deep stacks).
+        grad_forward = (
+            jax.checkpoint(model_forward) if cfg.train.remat else model_forward
+        )
+
         def micro_grads(params, images, micro_rng):
             aug_key, mask_key = jax.random.split(micro_rng)
             x, _ = augment_batch(
@@ -182,7 +188,7 @@ class MAETrainer:
             x = x[:, None] if x.ndim == 4 else x  # add T axis
 
             def loss_fn(params):
-                loss, _, _ = model_forward(params, x, mask_key)
+                loss, _, _ = grad_forward(params, x, mask_key)
                 return loss
 
             return jax.value_and_grad(loss_fn)(params)

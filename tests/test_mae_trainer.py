@@ -126,6 +126,53 @@ def test_mae_grad_accum_exact(fixture_dir):
     assert int(s2.step) == 1
 
 
+def test_mae_remat_exact(fixture_dir):
+    """train.remat recomputes activations in backward — identical loss and
+    identical updated params vs the non-remat step (pure FLOP/HBM trade)."""
+    from s2tpu.configs import mae as mae_cfg
+    from s2tpu.configs.segmentation import DatamoduleConfig, DatasetConfig
+    from s2tpu.data.dataset import TiffSource
+    from s2tpu.data.pipeline import Datamodule
+    from s2tpu.models.prithvi_mae import PrithviConfig
+    from s2tpu.parallel import mesh as mesh_lib
+    from s2tpu.train.mae_trainer import MAETrainer
+
+    tiny = PrithviConfig(
+        img_size=64, patch_size=16, num_frames=1, in_chans=6, embed_dim=64, depth=1,
+        num_heads=4, decoder_embed_dim=48, decoder_depth=1, decoder_num_heads=4,
+    )
+
+    def build(remat):
+        cfg = mae_cfg.base_config(aoi="small")
+        cfg.train.from_scratch = True
+        cfg.train.remat = remat
+        cfg.datamodule.batch_size = 2
+        cfg.datamodule.random_crop_size = 64
+        dm = Datamodule(
+            DatamoduleConfig(
+                dataset_cfg=DatasetConfig(aoi="small", label_map="osm-multiclass",
+                                          data_dir=str(fixture_dir)),
+                batch_size=2, data_split=(1.0, 0.0, 0.0), random_crop_size=64,
+            ),
+            source=TiffSource("small", "osm-multiclass", data_dir=fixture_dir, require_labels=False),
+        )
+        return MAETrainer(cfg, dm, mesh=mesh_lib.make_mesh(1), model_config=tiny)
+
+    import jax
+
+    ta, tb = build(False), build(True)
+    batch = next(iter(ta.dm.train_batches(epoch=0)))
+    sa, ma = ta.train_step(ta.state, batch.images, ta.base_rng)
+    sb, mb = tb.train_step(tb.state, batch.images, tb.base_rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(sa.params))
+    for path, leaf_b in jax.tree_util.tree_leaves_with_path(sb.params):
+        np.testing.assert_allclose(
+            np.asarray(leaf_b), np.asarray(flat_a[path]), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_mae_resume_from_checkpoint(fixture_dir, tmp_path):
     from s2tpu.checkpoint.orbax_io import CheckpointManager
     from s2tpu.configs import mae as mae_cfg
