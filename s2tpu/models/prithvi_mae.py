@@ -439,8 +439,10 @@ class PrithviMAE(nn.Module):
             x = block(x)
         return self.encoder_norm(x), mask, ids_restore
 
-    def forward_decoder(self, tokens: jax.Array, ids_restore: jax.Array) -> jax.Array:
-        """Unshuffle with mask tokens, decode, project to patch pixels (no cls)."""
+    def decoder_pre(self, tokens: jax.Array, ids_restore: jax.Array) -> jax.Array:
+        """Everything forward_decoder does before the blocks: embed + mask-token
+        unshuffle + pos. Split out so pipeline parallelism
+        (s2tpu.parallel.pipeline) can run the decoder block stack externally."""
         x = self.decoder_embed(tokens)
         b, _, d = x.shape
         l = ids_restore.shape[1]
@@ -449,12 +451,21 @@ class PrithviMAE(nn.Module):
         full = jnp.concatenate([x[:, 1:, :], mask_tokens], axis=1)
         full = jnp.take_along_axis(full, ids_restore[:, :, None], axis=1)
         x = jnp.concatenate([x[:, :1, :], full], axis=1)
-        x = x + self.decoder_pos_embed[None].astype(x.dtype)
-        for block in self.decoder_blocks:
-            x = block(x)
+        return x + self.decoder_pos_embed[None].astype(x.dtype)
+
+    def decoder_post(self, x: jax.Array) -> jax.Array:
+        """Final decoder LayerNorm + pixel projection, cls dropped
+        (pipeline-parallel counterpart hook)."""
         x = self.decoder_norm(x)
         x = self.decoder_pred(x)
         return x[:, 1:, :]
+
+    def forward_decoder(self, tokens: jax.Array, ids_restore: jax.Array) -> jax.Array:
+        """Unshuffle with mask tokens, decode, project to patch pixels (no cls)."""
+        x = self.decoder_pre(tokens, ids_restore)
+        for block in self.decoder_blocks:
+            x = block(x)
+        return self.decoder_post(x)
 
     def __call__(
         self, imgs: jax.Array, mask_ratio: float = 0.75, mask_rng: jax.Array | None = None

@@ -174,6 +174,53 @@ def prithvi_pipelined_encode(
     return x, mask, ids_restore
 
 
+def prithvi_pipelined_decode(
+    model,
+    variables: dict,
+    tokens: jax.Array,
+    ids_restore: jax.Array,
+    *,
+    mesh: Mesh,
+    n_microbatches: int,
+    pipe_axis: str = MODEL_AXIS,
+    data_axis: str | None = DATA_AXIS,
+) -> jax.Array:
+    """PrithviMAE.forward_decoder with the decoder blocks run as a pipeline.
+
+    Same runtime strategy as ``prithvi_pipelined_encode`` applied to the
+    ``decoder_block_*`` stack (different width/head-count Block instance);
+    embed/unshuffle/pos run replicated before, norm+pred after. Requires
+    ``decoder_depth % n_stages == 0`` (Prithvi-100M: 8 decoder blocks →
+    stages ∈ {2, 4, 8})."""
+    from s2tpu.models.prithvi_mae import Block, PrithviMAE
+
+    cfg = model.config
+    assert cfg.tp_axis is None and cfg.cp_axis is None, (
+        "pipeline parallelism and tensor/context parallelism both use the "
+        "'model' axis — configure one per run"
+    )
+    x = model.apply(variables, tokens, ids_restore, method=PrithviMAE.decoder_pre)
+    block = Block(
+        cfg.decoder_embed_dim,
+        cfg.decoder_num_heads,
+        cfg.mlp_ratio,
+        dtype=model.dtype,
+        attention_impl=cfg.attention_impl,
+        ln_eps=cfg.layer_norm_eps,
+    )
+    stacked = stack_block_params(variables["params"], "decoder_block_", cfg.decoder_depth)
+    x = pipelined_block_apply(
+        block,
+        stacked,
+        x,
+        mesh=mesh,
+        n_microbatches=n_microbatches,
+        pipe_axis=pipe_axis,
+        data_axis=data_axis,
+    )
+    return model.apply(variables, x, method=PrithviMAE.decoder_post)
+
+
 def prithvi_pipelined_mae_forward(
     model,
     variables: dict,
@@ -186,14 +233,17 @@ def prithvi_pipelined_mae_forward(
     mask_ratio: float = 0.75,
     mask_rng: jax.Array | None = None,
 ):
-    """Full MAE forward (loss, pred, mask) with the encoder pipelined.
+    """Full MAE forward (loss, pred, mask) with the encoder — and, when the
+    stage count divides ``decoder_depth``, the decoder — pipelined.
 
     Drop-in replacement for ``PrithviMAE.__call__`` used by the MAE train
-    step under pipeline parallelism: the 12-block encoder (the bulk of the
-    masked-forward FLOPs) runs as pipe stages over the 'model' axis; the
-    decoder and loss run replicated (every stage computes them — the
-    standard cost of pipelining only part of the net). Differentiable end
-    to end; tests assert train-step equality against the sequential model.
+    step under pipeline parallelism: the 12-block encoder and the 8-block
+    decoder (together the bulk of the FLOPs) run as pipe stages over the
+    'model' axis; embed/unshuffle/loss run replicated (the standard cost of
+    pipelining only the block stacks). When ``decoder_depth % stages != 0``
+    (e.g. 3 stages over Prithvi's 8 decoder blocks) the decoder falls back
+    to the sequential path. Differentiable end to end; tests assert
+    train-step equality against the sequential model.
     """
     from s2tpu.models.prithvi_mae import PrithviMAE, patchify
     from s2tpu.train.losses import mae_reconstruction_loss
@@ -209,8 +259,20 @@ def prithvi_pipelined_mae_forward(
         mask_ratio=mask_ratio,
         mask_rng=mask_rng,
     )
-    pred = model.apply(variables, latent, ids_restore, method=PrithviMAE.forward_decoder)
     cfg = model.config
+    if cfg.decoder_depth % mesh.shape[pipe_axis] == 0:
+        pred = prithvi_pipelined_decode(
+            model,
+            variables,
+            latent,
+            ids_restore,
+            mesh=mesh,
+            n_microbatches=n_microbatches,
+            pipe_axis=pipe_axis,
+            data_axis=data_axis,
+        )
+    else:
+        pred = model.apply(variables, latent, ids_restore, method=PrithviMAE.forward_decoder)
     target = patchify(imgs, cfg.patch_size, cfg.tubelet_size)
     loss = mae_reconstruction_loss(pred, target, mask, norm_pix=cfg.norm_pix_loss)
     return loss, pred, mask
