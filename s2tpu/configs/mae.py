@@ -163,3 +163,19 @@ def overfit(config: MAEConfig) -> MAEConfig:
     config.train.log_img_in_train = True
     config.train.tags.append("overfit")
     return config
+
+
+def config_from_dict(d: dict) -> MAEConfig:
+    """Rebuild an MAEConfig from a checkpoint's embedded config.json
+    (inverse of dataclasses.asdict; serving CLIs restore the exact training
+    configuration the same way cli/infer.py does for segmentation)."""
+    ds = MAEDatasetConfig(**d["datamodule"]["dataset_cfg"])
+    dm_kwargs = {k: v for k, v in d["datamodule"].items() if k != "dataset_cfg"}
+    dm_kwargs["data_split"] = tuple(dm_kwargs["data_split"])
+    train_kwargs = dict(d["train"])
+    train_kwargs["betas"] = tuple(train_kwargs["betas"])
+    return MAEConfig(
+        model=MAEModelConfig(**d["model"]),
+        datamodule=MAEDatamoduleConfig(dataset_cfg=ds, **dm_kwargs),
+        train=MAETrainConfig(**train_kwargs),
+    )
