@@ -78,18 +78,25 @@ def main(argv: list[str] | None = None) -> None:
     if stats_path.exists():
         dm.set_mean_std(*statistics.load_mean_std(stats_path))
     # Inference runs single-device unless the batch is shardable over more.
+    # Multi-host serving uses the LOCAL devices only: each process serves its
+    # own segment slice independently (no cross-host program — serving needs
+    # no collectives; see s2tpu/infer/tiled.py::multihost_segment_slice).
+    n_proc, pid = jax.process_count(), jax.process_index()
+    local_devices = jax.local_devices()
     n_dev = 1
-    for n in range(len(jax.devices()), 0, -1):
+    for n in range(len(local_devices), 0, -1):
         if config.datamodule.batch_size % n == 0:
             n_dev = n
             break
-    trainer = SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(n_dev))
+    trainer = SegmentationTrainer(
+        config, dm, mesh=mesh_lib.make_mesh(n_dev, devices=local_devices)
+    )
     epoch = args.epoch if args.epoch is not None else (ckpt.best_epoch() or ckpt.latest_epoch())
     trainer.state = ckpt.restore(trainer.state, epoch=epoch)
     logger.info(f"Restored checkpoint epoch {epoch}")
 
     out_dir = Path(args.out) if args.out else OUT_DIR / Path(args.ckpt_dir).name
-    writer = PredictionWriter(out_dir)
+    writer = PredictionWriter(out_dir, prefix=f"p{pid}_" if n_proc > 1 else "")
 
     predict_fn, predict_state = trainer.predict_step, trainer.state
     if args.int8:
@@ -104,6 +111,11 @@ def main(argv: list[str] | None = None) -> None:
         from s2tpu.infer.tiled import tiled_predict_many
 
         indices = {"train": dm.train_idx, "val": dm.val_idx, "test": dm.test_idx}[args.split]
+        if n_proc > 1:
+            from s2tpu.infer.tiled import multihost_segment_slice
+
+            indices = multihost_segment_slice(indices, n_proc, pid)
+            logger.info(f"multi-host serving: process {pid} takes {len(indices)} segments")
         group = 4  # segments per device call: tiles share one prediction queue
         for g in range(0, len(indices), group):
             chunk = indices[g : g + group]

@@ -155,6 +155,25 @@ def _aot_tiled_logits(
     return art(state, images)
 
 
+def multihost_segment_slice(
+    indices: typing.Sequence[int], n_proc: int | None = None, index: int | None = None
+) -> list[int]:
+    """Per-process segment assignment for multi-host tiled serving.
+
+    Serving needs no collectives, so the DCN extension is host-level data
+    decomposition: each process serves ``indices[process_index ::
+    process_count]`` on its own addressable chips (a LOCAL mesh — no
+    cross-host program) and writes its own output files. Segment-id-keyed
+    filenames make concurrent writers conflict-free, and the union of files
+    over processes is exactly the single-host output set
+    (tests/test_multihost.py::test_two_process_tiled_serving). Round-robin
+    keeps the per-host load balanced for any process count.
+    """
+    n_proc = jax.process_count() if n_proc is None else n_proc
+    index = jax.process_index() if index is None else index
+    return list(indices)[index::n_proc]
+
+
 def tiled_predict(
     predict_fn: typing.Callable,
     state,

@@ -16,15 +16,19 @@ from s2tpu.geo.tiff import GeoInfo, write_geotiff
 
 
 class PredictionWriter:
-    def __init__(self, out_dir: str | Path, save_logits: bool = True) -> None:
+    def __init__(self, out_dir: str | Path, save_logits: bool = True, prefix: str = "") -> None:
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.save_logits = save_logits
+        # Per-process namespace under multi-host serving (e.g. "p1_"): batch
+        # files are sequence-numbered, so concurrent writers need disjoint
+        # names. Class maps are keyed by segment id — disjoint by design.
+        self.prefix = prefix
         self._batch_idx = 0
 
     def write_batch(self, logits: np.ndarray) -> Path:
         """Save raw logits for one batch (reference CustomWriter contract)."""
-        path = self.out_dir / f"batch_{self._batch_idx}.npy"
+        path = self.out_dir / f"{self.prefix}batch_{self._batch_idx}.npy"
         np.save(path, np.asarray(logits))
         self._batch_idx += 1
         return path

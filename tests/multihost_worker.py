@@ -42,7 +42,24 @@ from s2tpu.parallel import mesh as mesh_lib  # noqa: E402
 mesh = mesh_lib.make_mesh(-1)  # all global devices
 assert mesh.devices.size == 4 * n_proc
 
-if mode == "mae_corpus":
+if mode == "serve":
+    # Multi-host tiled serving (TODO r3 #10): each process drives the REAL
+    # inference CLI; the CLI slices the segment list per process
+    # (multihost_segment_slice), serves its share on a process-LOCAL mesh
+    # (no cross-host program), and writes segment-keyed files into the
+    # shared out dir. Parent asserts union == single-process outputs.
+    from pathlib import Path  # noqa: E402
+
+    from s2tpu.cli.infer import main as infer_main  # noqa: E402
+
+    ckpt_dir = os.environ["S2TPU_SERVE_CKPT"]
+    out_dir = os.environ["S2TPU_SERVE_OUT"]
+    infer_main([
+        ckpt_dir, "--tiled", "--out", out_dir, "--data-dir", fixture_dir, "--split", "val",
+    ])
+    files = sorted(p.name for p in Path(out_dir).glob("pred_*.tif"))
+    result = {"pid": pid, "train_loss": 0.0, "val_loss": 0.0, "val_iou": 0.0, "files": files}
+elif mode == "mae_corpus":
     # MAE pretraining from a 'data'-sharded unlabeled device corpus
     # (per-host HBM blocks; VERDICT r2 item #4b).
     from s2tpu.configs import mae as mae_cfg  # noqa: E402

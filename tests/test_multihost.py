@@ -26,9 +26,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(fixture_dir, n_proc: int, mode: str) -> list[dict]:
+def _run_workers(fixture_dir, n_proc: int, mode: str, extra_env: dict | None = None) -> list[dict]:
     port = _free_port()
-    env = {**os.environ, "PYTHONPATH": str(REPO)}
+    env = {**os.environ, "PYTHONPATH": str(REPO), **(extra_env or {})}
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     procs = [
         subprocess.Popen(
@@ -142,3 +142,59 @@ def test_two_process_mae_sharded_corpus(mh_fixture):
         assert r["pid"] == k
         np.testing.assert_allclose(r0["train_loss"], r["train_loss"], rtol=1e-6)
         np.testing.assert_allclose(r0["val_loss"], r["val_loss"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_tiled_serving(fixture_dir, tmp_path):
+    """Multi-host tiled serving (TODO r3 #10): two processes each drive the
+    real inference CLI; the CLI round-robins the val segments per process,
+    serves on a process-LOCAL mesh (zero cross-host traffic), and writes
+    into a shared directory. The union of files must equal a single-process
+    run's outputs bit-for-bit."""
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.configs import segmentation as cfg_lib
+    from s2tpu.configs.segmentation import config_to_dict
+    from s2tpu.data.pipeline import Datamodule
+    from s2tpu.parallel import mesh as mesh_lib
+    from s2tpu.train.trainer import SegmentationTrainer
+
+    c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 2
+    c.datamodule.data_split = (0.5, 0.5, 0.0)
+    c.datamodule.random_crop_size = 64
+    c.train.compute_dtype = "float32"
+    c.train.run_name = "mhserve"
+
+    ckpt_dir = tmp_path / "ckpt"
+    mgr = CheckpointManager(ckpt_dir, keep=1, config_dict=config_to_dict(c))
+    trainer = SegmentationTrainer(
+        c, Datamodule(c.datamodule), mesh=mesh_lib.make_mesh(1), checkpoint_manager=mgr
+    )
+    trainer.fit(epochs=1)
+    mgr.close()
+
+    # single-process reference outputs
+    from s2tpu.cli.infer import main as infer_main
+
+    ref_dir = tmp_path / "ref"
+    infer_main([str(ckpt_dir), "--tiled", "--out", str(ref_dir), "--data-dir", str(fixture_dir)])
+    ref_files = sorted(p.name for p in ref_dir.glob("pred_*.tif"))
+    assert len(ref_files) == 3  # val split of 6 segments
+
+    # two serving processes sharing one out dir
+    out_dir = tmp_path / "mh"
+    results = _run_workers(
+        fixture_dir, n_proc=2, mode="serve",
+        extra_env={"S2TPU_SERVE_CKPT": str(ckpt_dir), "S2TPU_SERVE_OUT": str(out_dir)},
+    )
+    mh_files = sorted(p.name for p in out_dir.glob("pred_*.tif"))
+    assert mh_files == ref_files
+    assert results[0]["files"] and results[1]["files"]
+
+    from s2tpu.geo.tiff import read_geotiff
+
+    for name in ref_files:
+        ref, _ = read_geotiff(ref_dir / name)
+        got, _ = read_geotiff(out_dir / name)
+        np.testing.assert_array_equal(got, ref, err_msg=name)
