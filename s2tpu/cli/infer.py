@@ -56,13 +56,10 @@ def main(argv: list[str] | None = None) -> None:
         help="calibration batches for --int8 activation ranges",
     )
     args = p.parse_args(argv)
-    if args.int8 and args.aot_cache:
-        p.error(
-            "--aot-cache is incompatible with --int8: the quantized weights "
-            "are compile-time constants in the serialized executable, and the "
-            "artifact fingerprint cannot distinguish checkpoints/calibrations "
-            "— a stale artifact would silently serve old weights"
-        )
+    # --int8 composes with --aot-cache: the quantized weights + activation
+    # scales ride in the serving bundle as RUNTIME arguments of the program
+    # (quantize_segmentation_trainer), so one serialized artifact serves any
+    # checkpoint/calibration of the same model shape.
 
     ckpt = CheckpointManager(args.ckpt_dir)
     cfg_dict = ckpt.load_config()

@@ -261,14 +261,22 @@ def calibrate_model(
 def quantize_segmentation_trainer(trainer, n_batches: int = 2):
     """Calibrate + quantize a SegmentationTrainer's model for serving.
 
-    Returns (predict_fn, state) matching the ``tiled_predict_many`` contract:
-    ``predict_fn(state, tiles)`` maps raw-DN NHWC tiles to logits with every
-    calibrated Dense/Conv in int8. Both calibration and serving route through
-    ``trainer._predict`` (the float serving path) under interception, so the
-    preprocessing and numerics conventions have exactly one definition.
-    The returned fn is jit'd; the returned state is the trainer state with
-    the optimizer moments stripped (serving never reads them, and a
-    multi-chip mesh would otherwise replicate ~2x params of dead weight).
+    Returns (predict_fn, bundle) matching the ``tiled_predict_many`` contract
+    (the state argument is an opaque pytree): ``predict_fn(bundle, tiles)``
+    maps raw-DN NHWC tiles to logits with every calibrated Dense/Conv in
+    int8. Both calibration and serving route through ``trainer._predict``
+    (the float serving path) under interception, so the preprocessing and
+    numerics conventions have exactly one definition.
+
+    The bundle carries the trainer state (optimizer moments stripped —
+    serving never reads them, and a multi-chip mesh would otherwise
+    replicate ~2x params of dead weight) AND the int8 qstate. Quantized
+    weights and activation scales are therefore RUNTIME ARGUMENTS of the
+    serving program, not compile-time constants: one compiled program (or
+    one serialized AOT artifact, ``cli/infer.py --int8 --aot-cache``) serves
+    any checkpoint/calibration of the same model — the artifact fingerprint
+    covers the qstate's tree structure and shapes via the normal dynamic-arg
+    signature (tests/test_quantize.py::test_int8_weights_are_runtime_args).
     """
     state = trainer.state.replace(opt_state=())
 
@@ -302,10 +310,11 @@ def quantize_segmentation_trainer(trainer, n_batches: int = 2):
         seen = 1
     assert seen > 0, "no calibration batches available"
     qstate = quantize_weights(trainer.state.params, scales_from_maxabs(maxabs))
+    bundle = {"state": state, "qstate": qstate}
 
     @jax.jit
-    def predict_fn(state, images):
-        with nn.intercept_methods(make_quant_interceptor(qstate)):
-            return trainer._predict(state, images)
+    def predict_fn(bundle, images):
+        with nn.intercept_methods(make_quant_interceptor(bundle["qstate"])):
+            return trainer._predict(bundle["state"], images)
 
-    return predict_fn, state
+    return predict_fn, bundle

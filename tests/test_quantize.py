@@ -175,3 +175,64 @@ def test_quantized_tiled_serving_end_to_end(tmp_path):
     confident = margin > np.quantile(margin, 0.5)
     agree = (np.asarray(cm_q[0]) == np.asarray(cm_f[0]))[confident].mean()
     assert agree > 0.97, f"int8/float class maps disagree on confident pixels: {agree:.3f}"
+
+
+@pytest.mark.slow
+def test_int8_weights_are_runtime_args(tmp_path):
+    """The quantized serving program must NOT bake weights as constants:
+    one compiled executable (and hence one AOT artifact) serves any
+    checkpoint/calibration of the same shapes. Compile once, swap the
+    bundle's quantized weights, and the SAME executable must produce
+    different logits; --int8 + --aot-cache integration must match the
+    uncached run."""
+    import jax
+
+    from s2tpu.configs import segmentation as cfg_lib
+    from s2tpu.data.dataset import make_synthetic_fixture
+    from s2tpu.data.pipeline import Datamodule
+    from s2tpu.infer.tiled import tiled_predict_many
+    from s2tpu.parallel import mesh as mesh_lib
+    from s2tpu.train.trainer import SegmentationTrainer
+
+    make_synthetic_fixture(tmp_path, aoi="small", label_map="osm-multiclass", n_segments=4, size=(96, 96))
+    config = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    config.datamodule.dataset_cfg.data_dir = str(tmp_path)
+    config.datamodule.batch_size = 2
+    config.datamodule.data_split = (1.0, 0.0, 0.0)
+    config.datamodule.random_crop_size = 64
+    config.train.compute_dtype = "float32"
+    dm = Datamodule(config.datamodule)
+    trainer = SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(1))
+
+    predict_q, bundle = quantize_segmentation_trainer(trainer, n_batches=1)
+    assert set(bundle) == {"state", "qstate"}
+
+    tiles = jnp.asarray(
+        np.random.default_rng(0).integers(0, 4000, size=(2, 64, 64, 6)).astype(np.int16)
+    )
+    compiled = predict_q.lower(bundle, tiles).compile()
+    base = np.asarray(compiled(bundle, tiles))
+
+    # same executable, zeroed quantized weights -> different logits
+    zeroed = dict(bundle)
+    zeroed["qstate"] = jax.tree_util.tree_map(jnp.zeros_like, bundle["qstate"])
+    changed = np.asarray(compiled(zeroed, tiles))
+    assert not np.allclose(changed, base), "quantized weights were baked into the program"
+
+    # int8 + AOT cache end-to-end (CPU may fall back at dispatch — results
+    # must be identical either way)
+    from s2tpu.geo.tiff import read_geotiff
+
+    raw, _ = read_geotiff(dm.source.sentinel_files[0])
+    imgs = np.ascontiguousarray(raw.transpose(1, 2, 0))[None]
+    ref, _ = tiled_predict_many(
+        predict_q, bundle, imgs, num_classes=config.num_classes, tile=64
+    )
+    cache = tmp_path / "int8_tiled.aot"
+    for _ in range(2):  # export then load (or clean fallback)
+        got, _ = tiled_predict_many(
+            predict_q, bundle, imgs, num_classes=config.num_classes, tile=64,
+            aot_cache=str(cache),
+        )
+        assert cache.exists()
+        np.testing.assert_array_equal(got, ref)
