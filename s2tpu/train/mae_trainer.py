@@ -374,7 +374,12 @@ class MAETrainer:
                     {k: float(v) for k, v in m["watch"].items()}, step=self._host_step
                 )
         if n == 0:
-            return {}
+            raise ValueError(
+                f"train epoch {epoch} produced ZERO batches: the train pool "
+                f"({len(self.dm.train_idx)} segments) is smaller than one "
+                f"global batch ({cfg.datamodule.batch_size}) — reduce --bs, "
+                "the device count, or grow the dataset/split"
+            )
         return {
             "loss": float(acc) / n,
             "images_per_sec": images_seen / max(time.time() - t0, 1e-9),

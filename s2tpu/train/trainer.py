@@ -540,7 +540,12 @@ class SegmentationTrainer:
             acc_cm = m["cm"] if acc_cm is None else acc_cm + m["cm"]
             self._maybe_log_watch(b, m)
         if n_batches == 0:
-            return {}
+            raise ValueError(
+                f"train epoch {epoch} produced ZERO device-corpus batches: the "
+                f"train pool ({len(self.dm.train_idx)} segments) is smaller "
+                f"than one global batch ({bs}) — reduce --bs, the device "
+                "count, or grow the dataset/split"
+            )
         out = metrics_lib.compute_metrics(np.asarray(acc_cm))
         out["loss"] = float(acc_loss) / n_batches
         out["images_per_sec"] = n_batches * bs / max(time.time() - t0, 1e-9)
@@ -573,7 +578,12 @@ class SegmentationTrainer:
                 )
             self._maybe_log_watch(i, m)
         if n == 0:
-            return {}
+            raise ValueError(
+                f"train epoch {epoch} produced ZERO batches: the train pool "
+                f"({len(self.dm.train_idx)} segments) is smaller than one "
+                f"global batch ({cfg.datamodule.batch_size}) — reduce --bs, "
+                "the device count, or grow the dataset/split"
+            )
         out = metrics_lib.compute_metrics(np.asarray(acc_cm))
         out["loss"] = float(acc_loss) / n
         out["images_per_sec"] = images_seen / max(time.time() - t0, 1e-9)

@@ -282,3 +282,40 @@ def test_recalibrate_bn_replaces_running_stats():
         assert (np.asarray(v) >= 0).all()
     m = t.eval_step(t.state, img, lbl, np.ones(4, np.float32))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_zero_train_batches_raises(fixture_dir):
+    """A dataset smaller than one global batch must fail LOUDLY, not log a
+    nan-loss epoch (seg + MAE; the sharded device corpus already asserts)."""
+    import pytest as _pytest
+
+    from s2tpu.configs import mae as mae_cfg
+    from s2tpu.configs import segmentation as cfg_lib
+    from s2tpu.train.mae_trainer import MAETrainer
+
+    c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 64  # > 6-segment fixture's train pool
+    c.datamodule.random_crop_size = 64
+    c.train.compute_dtype = "float32"
+    trainer = SegmentationTrainer(c, Datamodule(c.datamodule), mesh=mesh_lib.make_mesh(1))
+    with _pytest.raises(ValueError, match="ZERO"):
+        trainer.run_train_epoch(0)
+
+    mc = mae_cfg.base_config(aoi="small")
+    mc.train.from_scratch = True
+    mc.train.num_devices = 1
+    mc.train.compute_dtype = "float32"
+    mc.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    mc.datamodule.batch_size = 64
+    mc.datamodule.random_crop_size = 32
+    from s2tpu.models.prithvi_mae import PrithviConfig
+
+    tiny = PrithviConfig(
+        img_size=32, patch_size=16, num_frames=1, in_chans=6, embed_dim=32, depth=1,
+        num_heads=2, decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+    )
+    mdm = Datamodule(c.datamodule)
+    mtr = MAETrainer(mc, mdm, model_config=tiny)
+    with _pytest.raises(ValueError, match="ZERO"):
+        mtr.run_train_epoch(0)
