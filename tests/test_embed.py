@@ -152,3 +152,19 @@ def test_export_embeddings_cli(fixture_dir, tmp_path):
     zv = np.load(out_val)
     assert zv["embeddings"].shape[0] < n_segments  # split filter applied
     assert zv["embeddings"].ndim == 3  # (N, 1+L, D) token export
+
+    # linear probe over the exported embeddings (downstream MAE evaluation)
+    import contextlib
+    import io
+
+    from s2tpu.cli.probe_embeddings import main as probe_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_main([str(out), "--data-dir", str(fixture_dir), "--steps", "200"])
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rec["n_segments"] == n_segments
+    assert rec["num_classes"] == 4
+    assert 0.0 <= rec["eval_acc"] <= 1.0 and 0.0 <= rec["majority_baseline"] <= 1.0
+    # a 768-d logistic probe must at least fit its handful of train segments
+    assert rec["train_acc"] >= 0.5
