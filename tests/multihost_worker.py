@@ -57,6 +57,9 @@ if mode == "serve":
     infer_main([
         ckpt_dir, "--tiled", "--out", out_dir, "--data-dir", fixture_dir, "--split", "val",
     ])
+    # batch-logits mode too: each process predicts its eval-batch slice and
+    # writes under its own p<pid>_ prefix (no filename collisions).
+    infer_main([ckpt_dir, "--out", out_dir, "--data-dir", fixture_dir, "--split", "val"])
     files = sorted(p.name for p in Path(out_dir).glob("pred_*.tif"))
     result = {"pid": pid, "train_loss": 0.0, "val_loss": 0.0, "val_iou": 0.0, "files": files}
 elif mode == "mae_corpus":

@@ -198,3 +198,13 @@ def test_two_process_tiled_serving(fixture_dir, tmp_path):
         ref, _ = read_geotiff(ref_dir / name)
         got, _ = read_geotiff(out_dir / name)
         np.testing.assert_array_equal(got, ref, err_msg=name)
+
+    # batch-logits mode: per-process prefixed files; every val sample
+    # predicted exactly once across processes.
+    infer_main([str(ckpt_dir), "--out", str(ref_dir), "--data-dir", str(fixture_dir)])
+    ref_rows = sum(np.load(f).shape[0] for f in ref_dir.glob("batch_*.npy"))
+    p0 = sorted(out_dir.glob("p0_batch_*.npy"))
+    p1 = sorted(out_dir.glob("p1_batch_*.npy"))
+    assert p0 and p1, "both serving processes must write prefixed batch logits"
+    mh_rows = sum(np.load(f).shape[0] for f in [*p0, *p1])
+    assert mh_rows == ref_rows == 3  # val split of 6 segments
