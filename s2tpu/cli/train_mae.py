@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard the HBM corpus over the 'data' mesh (N/D segments per chip)",
     )
     p.add_argument(
+        "--steps-per-dispatch", type=int, default=None,
+        help="fuse N train steps into one XLA program (device-corpus mode; "
+        "the host dispatches once per N optimizer steps)",
+    )
+    p.add_argument(
         "--resume-from", default=None,
         help="checkpoint dir of a previous run — restores latest state and continues",
     )
@@ -99,6 +104,9 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
     t.remat = args.remat or t.remat
     t.device_corpus = args.device_corpus or args.device_corpus_sharded or t.device_corpus
     t.device_corpus_sharded = args.device_corpus_sharded or t.device_corpus_sharded
+    t.steps_per_dispatch = (
+        args.steps_per_dispatch if args.steps_per_dispatch is not None else t.steps_per_dispatch
+    )
     if args.num_frames:
         config.model.num_frames = args.num_frames
         dmc.dataset_cfg.n_time_frames = args.num_frames

@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--device-corpus-sharded", action="store_true",
         help="shard the HBM corpus over the 'data' mesh (N/D segments per chip)",
     )
+    p.add_argument(
+        "--steps-per-dispatch", type=int, default=None,
+        help="fuse N train steps into one XLA program (device-corpus mode; "
+        "the host dispatches once per N optimizer steps)",
+    )
     p.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
     p.add_argument(
         "--param-dtype", default=None, choices=["bfloat16", "float32"],
@@ -118,6 +123,9 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     t.remat = args.remat or t.remat
     t.device_corpus = args.device_corpus or args.device_corpus_sharded or t.device_corpus
     t.device_corpus_sharded = args.device_corpus_sharded or t.device_corpus_sharded
+    t.steps_per_dispatch = (
+        args.steps_per_dispatch if args.steps_per_dispatch is not None else t.steps_per_dispatch
+    )
     t.compute_dtype = args.compute_dtype or t.compute_dtype
     t.param_dtype = args.param_dtype or t.param_dtype
     t.seed = args.seed if args.seed is not None else t.seed

@@ -93,6 +93,10 @@ class MAETrainConfig:
     # per-host blocks under multi-host). Mirrors segmentation's
     # device_corpus_sharded.
     device_corpus_sharded: bool = False
+    # Fuse N consecutive train steps into one XLA program (lax.scan over the
+    # donated state) in device-corpus mode: the host dispatches once per N
+    # optimizer steps. Identical math to N single steps.
+    steps_per_dispatch: int = 1
 
     use_wandb_logger: bool = True
     project_name: str = "prithvi-mae-finetune"

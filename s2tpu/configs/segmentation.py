@@ -102,6 +102,13 @@ class TrainConfig:
     # per-chip HBM): each device holds N/D segments and contributes B/D
     # samples per step from its own shard; multi-host holds per-host blocks.
     device_corpus_sharded: bool = False
+    # Fuse N consecutive train steps into ONE XLA program (lax.scan over the
+    # donated state) in device-corpus mode, where per-step input is only the
+    # int32 index/offset vectors. Amortizes per-step host dispatch latency —
+    # the host wakes once per N optimizer steps. Semantics are bit-identical
+    # to N single steps (same per-step RNG fold on state.step). Ignored in
+    # host-streamed mode (each step needs a fresh host batch).
+    steps_per_dispatch: int = 1
     # When > 0, replace BN running statistics with exact statistics pooled
     # over this many train batches before each validation pass
     # (trainer.recalibrate_bn). Essential for short runs: the encoder's

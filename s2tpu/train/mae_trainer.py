@@ -278,9 +278,24 @@ class MAETrainer:
             images = gather(corpus_images, idx, ys, xs)
             return train_step(state, images, rng)
 
+        def train_step_indexed_multi(state, corpus_images, idx, ys, xs, rng):
+            """``steps_per_dispatch`` fused steps (idx/ys/xs are (K, B)): one
+            XLA program runs K optimizer steps via lax.scan over the donated
+            state — per-step RNG still folds on state.step, so the math is
+            identical to K single dispatches. Returns the K-summed loss."""
+
+            def body(st, per):
+                i, y, x = per
+                st, m = train_step_indexed(st, corpus_images, i, y, x, rng)
+                return st, m["loss"]
+
+            state, losses = jax.lax.scan(body, state, (idx, ys, xs))
+            return state, {"loss": jnp.sum(losses)}
+
         donate = ("state",) if cfg.train.donate_state else ()
         self.train_step = jax.jit(train_step, donate_argnames=donate)
         self.train_step_indexed = jax.jit(train_step_indexed, donate_argnames=donate)
+        self.train_step_indexed_multi = jax.jit(train_step_indexed_multi, donate_argnames=donate)
         self.eval_step = jax.jit(eval_step)
 
     def reconstruct(self, images) -> np.ndarray:
@@ -346,6 +361,44 @@ class MAETrainer:
                         sharding = mesh_lib.data_sharding(self.mesh)
                         idx, ys, xs = (put_batch(a[sl], sharding) for a in (idx, ys, xs))
                     yield idx, ys, xs
+
+            k = max(getattr(cfg.train, "steps_per_dispatch", 1), 1)
+            watch_on = self.run_logger is not None and wi > 0
+            if k > 1 and not watch_on and jax.process_count() == 1:
+                # Fused windows: one program per k optimizer steps; the host
+                # ships (k, B) index vectors once per window. Remainder
+                # batches (< k) run as single steps.
+                acc, n, images_seen = None, 0, 0
+                b = 0
+                while b < n_batches:
+                    if b + k <= n_batches:
+                        draws = [sample(b + j) for j in range(k)]
+                        idx, ys, xs = (np.stack([d[t] for d in draws]) for t in range(3))
+                        self.state, m = self.train_step_indexed_multi(
+                            self.state, self.corpus.images, idx, ys, xs, self.base_rng
+                        )
+                        took = k
+                    else:
+                        self.state, m = self.train_step_indexed(
+                            self.state, self.corpus.images, *sample(b), self.base_rng
+                        )
+                        took = 1
+                    acc = m["loss"] if acc is None else acc + m["loss"]
+                    n += took
+                    images_seen += bs * took
+                    self._host_step += took
+                    b += took
+                if n == 0:
+                    raise ValueError(
+                        f"train epoch {epoch} produced ZERO batches: the train pool "
+                        f"({len(self.dm.train_idx)} segments) is smaller than one "
+                        f"global batch ({bs}) — reduce --bs, the device count, or "
+                        "grow the dataset/split"
+                    )
+                return {
+                    "loss": float(acc) / n,
+                    "images_per_sec": images_seen / max(time.time() - t0, 1e-9),
+                }
 
             batches = corpus_batches()
             step = lambda b: self.train_step_indexed(  # noqa: E731

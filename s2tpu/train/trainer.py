@@ -163,6 +163,7 @@ class SegmentationTrainer:
                 datamodule.source, mesh=self.mesh, shard=t.device_corpus_sharded
             )
         self._exact_stats = None  # built lazily by recalibrate_bn, then cached
+        self._steps_per_dispatch_warned = False
         self.state = self._init_state()
         self._build_steps()
 
@@ -447,6 +448,22 @@ class SegmentationTrainer:
             images, labels = corpus_gather(corpus_images, corpus_labels, idx, ys, xs)
             return train_step(state, images, labels, rng, with_watch=with_watch)
 
+        def train_step_indexed_multi(state, corpus_images, corpus_labels, idx, ys, xs, rng):
+            """``steps_per_dispatch`` fused steps: idx/ys/xs are (K, B) int32.
+
+            One XLA program runs K full optimizer steps (lax.scan over the
+            donated state); per-step RNG still folds on state.step inside
+            train_step, so the math is identical to K single dispatches.
+            Returns K-summed loss/cm (the epoch loop averages over batches)."""
+
+            def body(st, per):
+                i, y, x = per
+                st, m = train_step_indexed(st, corpus_images, corpus_labels, i, y, x, rng)
+                return st, (m["loss"], m["cm"])
+
+            state, (losses, cms) = jax.lax.scan(body, state, (idx, ys, xs))
+            return state, {"loss": jnp.sum(losses), "cm": jnp.sum(cms, axis=0)}
+
         donate = ("state",) if cfg.train.donate_state else ()
         # Watch norms cost per-leaf reductions every step; they only belong in
         # the program on steps that will actually be logged (watch_interval),
@@ -457,6 +474,7 @@ class SegmentationTrainer:
         self.train_step_indexed = jax.jit(
             train_step_indexed, donate_argnames=donate, static_argnames=("with_watch",)
         )
+        self.train_step_indexed_multi = jax.jit(train_step_indexed_multi, donate_argnames=donate)
         self._watch_enabled = watch
         self.eval_step = jax.jit(eval_step)
         self.predict_step = jax.jit(self._predict)
@@ -522,23 +540,48 @@ class SegmentationTrainer:
         acc_loss, acc_cm = None, None
         t0 = time.time()
         multi_proc = jax.process_count() > 1
-        for b in range(n_batches):
-            idx, ys, xs = sample(b)
-            if multi_proc:
-                # Same global draws everywhere; ship only our slice and
-                # assemble global (B,) index vectors over the mesh.
-                from s2tpu.parallel.multihost import local_slice, put_batch
+        k = max(cfg.train.steps_per_dispatch, 1)
+        if k > 1 and (self._watch_enabled or multi_proc):
+            # Watch scalars are read per step; multi-host index vectors are
+            # assembled per step over DCN — both need per-step dispatch.
+            if not self._steps_per_dispatch_warned:
+                logger.info(
+                    "steps_per_dispatch > 1 disabled (watch logging or multi-host "
+                    "input assembly requires per-step dispatch)"
+                )
+                self._steps_per_dispatch_warned = True
+            k = 1
+        b = 0
+        while b < n_batches:
+            if k > 1 and b + k <= n_batches:
+                # Fused window: one program executes k optimizer steps; the
+                # host ships (k, B) index vectors once per window.
+                draws = [sample(b + j) for j in range(k)]
+                idx, ys, xs = (np.stack([d[t] for d in draws]) for t in range(3))
+                self.state, m = self.train_step_indexed_multi(
+                    self.state, self.corpus.images, self.corpus.labels,
+                    idx, ys, xs, self.base_rng,
+                )
+                self._host_step += k
+                b += k
+            else:
+                idx, ys, xs = sample(b)
+                if multi_proc:
+                    # Same global draws everywhere; ship only our slice and
+                    # assemble global (B,) index vectors over the mesh.
+                    from s2tpu.parallel.multihost import local_slice, put_batch
 
-                sl = local_slice(len(idx))
-                sharding = mesh_lib.data_sharding(self.mesh)
-                idx, ys, xs = (put_batch(a[sl], sharding) for a in (idx, ys, xs))
-            self.state, m = self.train_step_indexed(
-                self.state, self.corpus.images, self.corpus.labels, idx, ys, xs, self.base_rng,
-                with_watch=self._watch_this_step(),
-            )
+                    sl = local_slice(len(idx))
+                    sharding = mesh_lib.data_sharding(self.mesh)
+                    idx, ys, xs = (put_batch(a[sl], sharding) for a in (idx, ys, xs))
+                self.state, m = self.train_step_indexed(
+                    self.state, self.corpus.images, self.corpus.labels, idx, ys, xs, self.base_rng,
+                    with_watch=self._watch_this_step(),
+                )
+                self._maybe_log_watch(b, m)
+                b += 1
             acc_loss = m["loss"] if acc_loss is None else acc_loss + m["loss"]
             acc_cm = m["cm"] if acc_cm is None else acc_cm + m["cm"]
-            self._maybe_log_watch(b, m)
         if n_batches == 0:
             raise ValueError(
                 f"train epoch {epoch} produced ZERO device-corpus batches: the "

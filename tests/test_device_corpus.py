@@ -212,3 +212,52 @@ def test_trainer_sharded_device_corpus_epoch(fixture_dir):
     assert int(trainer.state.step) == 3
     m2 = trainer.run_train_epoch(epoch=1)
     assert np.isfinite(m2["loss"])
+
+
+def _corpus_epoch_trainer(fixture_dir, steps_per_dispatch: int, sharded: bool = False):
+    c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.batch_size = 2
+    c.datamodule.data_split = (1.0, 0.0, 0.0)
+    c.datamodule.random_crop_size = 64
+    c.train.compute_dtype = "float32"
+    c.train.device_corpus = True
+    c.train.device_corpus_sharded = sharded
+    c.train.steps_per_dispatch = steps_per_dispatch
+    dm = Datamodule(c.datamodule)
+    trainer = SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(2 if sharded else 1))
+    return trainer
+
+
+def test_steps_per_dispatch_equivalence(fixture_dir):
+    """K fused steps (lax.scan over donated state) produce the same training
+    trajectory as K single dispatches: same per-step RNG fold on state.step,
+    same draws, same math."""
+    t1 = _corpus_epoch_trainer(fixture_dir, steps_per_dispatch=1)
+    m1 = t1.run_train_epoch(epoch=0)  # 3 single steps
+    t3 = _corpus_epoch_trainer(fixture_dir, steps_per_dispatch=3)
+    m3 = t3.run_train_epoch(epoch=0)  # one fused window of 3
+    assert int(t1.state.step) == int(t3.state.step) == 3
+    # Same math, different programs (scan body vs unrolled dispatch) — XLA
+    # fuses them differently, so trajectories agree only to float rounding.
+    np.testing.assert_allclose(m3["loss"], m1["loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m3["confusion_matrix"]), np.asarray(m1["confusion_matrix"]), atol=5e-3
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params), jax.tree_util.tree_leaves(t3.state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_steps_per_dispatch_remainder_and_sharded(fixture_dir):
+    """K=2 over 3 batches: one fused window + one single-step remainder; and
+    the sharded-corpus gather works inside the fused scan."""
+    t2 = _corpus_epoch_trainer(fixture_dir, steps_per_dispatch=2)
+    m2 = t2.run_train_epoch(epoch=0)
+    assert int(t2.state.step) == 3
+    assert np.isfinite(m2["loss"])
+    ts = _corpus_epoch_trainer(fixture_dir, steps_per_dispatch=2, sharded=True)
+    ms = ts.run_train_epoch(epoch=0)
+    assert int(ts.state.step) == 3
+    assert np.isfinite(ms["loss"])

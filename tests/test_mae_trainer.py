@@ -274,3 +274,45 @@ def test_mae_sharded_device_corpus_epoch(fixture_dir):
     assert int(trainer.state.step) == 3
     m2 = trainer.run_train_epoch(epoch=1)
     assert np.isfinite(m2["loss"])
+
+
+def test_mae_steps_per_dispatch_equivalence(fixture_dir):
+    """MAE fused-step dispatch (steps_per_dispatch) matches single dispatches:
+    same draws, same per-step RNG fold on state.step — trajectories agree to
+    float rounding (scan body vs unrolled programs fuse differently)."""
+    import jax
+
+    def build(k: int) -> MAETrainer:
+        c = mae_cfg.base_config(aoi="small")
+        c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+        c.datamodule.batch_size = 2
+        c.datamodule.random_crop_size = 32
+        c.datamodule.data_split = (1.0, 0.0, 0.0)
+        c.train.from_scratch = True
+        c.train.lr = 1e-3
+        c.train.device_corpus = True
+        c.train.steps_per_dispatch = k
+        source = TiffSource("small", "osm-multiclass", data_dir=fixture_dir, require_labels=False)
+        dm = Datamodule(
+            DatamoduleConfig(
+                dataset_cfg=DatasetConfig(
+                    aoi="small", label_map="osm-multiclass", data_dir=str(fixture_dir)
+                ),
+                batch_size=2,
+                data_split=(1.0, 0.0, 0.0),
+                random_crop_size=32,
+            ),
+            source=source,
+        )
+        return MAETrainer(c, dm, mesh=mesh_lib.make_mesh(1), model_config=TINY)
+
+    t1 = build(1)
+    m1 = t1.run_train_epoch(epoch=0)  # 3 single steps
+    t2 = build(2)
+    m2 = t2.run_train_epoch(epoch=0)  # fused window of 2 + remainder step
+    assert int(t1.state.step) == int(t2.state.step) == 3
+    np.testing.assert_allclose(m2["loss"], m1["loss"], rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params), jax.tree_util.tree_leaves(t2.state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
