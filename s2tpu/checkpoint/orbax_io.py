@@ -90,6 +90,62 @@ class CheckpointManager:
         path = self.directory / "config.json"
         return json.loads(path.read_text()) if path.exists() else None
 
+    # -- preemption saves ------------------------------------------------
+    # TPU pods receive SIGTERM on spot preemption / maintenance events. A
+    # preempt save is a synchronous (we are about to be killed) full-state
+    # save OUTSIDE the epoch-keyed manager, plus a marker recording how far
+    # into the epoch training got; resume replays the interrupted epoch's
+    # deterministic draw stream, skipping the completed batches — an exact
+    # continuation. The reference has no equivalent (Lightning restarts at
+    # the last epoch boundary).
+
+    @property
+    def _preempt_dir(self) -> Path:
+        return self.directory / "preempt"
+
+    def save_preempt(self, state: TrainState, epoch: int, batches_done: int) -> None:
+        ckptr = ocp.StandardCheckpointer()
+        path = self._preempt_dir.resolve()
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        ckptr.save(path / "state", _to_saveable(state))
+        ckptr.wait_until_finished()
+        ckptr.close()
+        (self.directory / "preempt.json").write_text(
+            json.dumps({"epoch": epoch, "batches_done": batches_done})
+        )
+
+    def has_preempt(self) -> bool:
+        return (self.directory / "preempt.json").exists()
+
+    def restore_preempt(self, state_like: TrainState) -> tuple[TrainState, int, int]:
+        """(state, epoch, batches_done) of the interrupted epoch."""
+        marker = json.loads((self.directory / "preempt.json").read_text())
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            self._preempt_dir.resolve() / "state", target=_to_saveable(state_like)
+        )
+        ckptr.close()
+        state = TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", {}),
+            opt_state=jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(state_like.opt_state),
+                jax.tree_util.tree_leaves(restored["opt_state"]),
+            ),
+        )
+        return state, int(marker["epoch"]), int(marker["batches_done"])
+
+    def clear_preempt(self) -> None:
+        import shutil
+
+        (self.directory / "preempt.json").unlink(missing_ok=True)
+        if self._preempt_dir.exists():
+            shutil.rmtree(self._preempt_dir)
+
     def restore_raw(self, epoch: int | None = None) -> dict:
         """Restore the saved tree without a template (raw arrays) — for
         cross-model ingestion, e.g. loading an s2tpu MAE pretraining

@@ -26,6 +26,7 @@ from s2tpu.data.pipeline import Datamodule, prefetch_to_device
 from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE, unpatchify
 from s2tpu.parallel import mesh as mesh_lib
 from s2tpu.train.train_state import TrainState, cast_floats, make_optimizer, with_f32_master
+from s2tpu.train.trainer import PreemptionInterrupt
 from s2tpu.utils import get_logger, get_unique_run_name, load_prithvi_mean_std, load_prithvi_model_args
 
 logger = get_logger(__name__)
@@ -81,6 +82,8 @@ class MAETrainer:
 
         self.base_rng = jax.random.key(config.train.seed)
         self._host_step = 0  # host mirror of state.step (watch gating, no sync)
+        self._preempt_requested = False  # set by the SIGTERM handler (fit)
+        self._skip_batches = 0  # mid-epoch resume: batches to skip (exact replay)
         self.corpus = None
         if getattr(config.train, "device_corpus", False):
             sharded = getattr(config.train, "device_corpus_sharded", False)
@@ -318,6 +321,11 @@ class MAETrainer:
         acc, n, images_seen = None, 0, 0
         t0 = time.time()
         wi = cfg.train.watch_interval
+        # Mid-epoch resume after preemption: the per-epoch batch/draw stream
+        # is deterministic, so skipping the already-trained prefix continues
+        # the epoch exactly.
+        skip = self._skip_batches
+        self._skip_batches = 0
         if self.corpus is not None:
             from s2tpu.data.device_corpus import sample_crop_batch
             from s2tpu.data.pipeline import epoch_rng, sample_epoch_order
@@ -350,7 +358,7 @@ class MAETrainer:
 
             def corpus_batches():
                 multi_proc = jax.process_count() > 1
-                for b in range(n_batches):
+                for b in range(skip, n_batches):
                     idx, ys, xs = sample(b)
                     if multi_proc:
                         # Same global draws everywhere; ship only our slice
@@ -362,6 +370,11 @@ class MAETrainer:
                         idx, ys, xs = (put_batch(a[sl], sharding) for a in (idx, ys, xs))
                     yield idx, ys, xs
 
+            # Replay the deterministic draw stream for the skipped prefix
+            # (keeps the host RNG aligned for the remaining batches).
+            for j in range(min(skip, n_batches)):
+                sample(j)
+
             k = max(getattr(cfg.train, "steps_per_dispatch", 1), 1)
             watch_on = self.run_logger is not None and wi > 0
             if k > 1 and not watch_on and jax.process_count() == 1:
@@ -369,7 +382,7 @@ class MAETrainer:
                 # ships (k, B) index vectors once per window. Remainder
                 # batches (< k) run as single steps.
                 acc, n, images_seen = None, 0, 0
-                b = 0
+                b = skip
                 while b < n_batches:
                     if b + k <= n_batches:
                         draws = [sample(b + j) for j in range(k)]
@@ -388,7 +401,11 @@ class MAETrainer:
                     images_seen += bs * took
                     self._host_step += took
                     b += took
+                    if self._preempt_requested:
+                        raise PreemptionInterrupt(epoch, b)
                 if n == 0:
+                    if skip:  # resumed epoch with no remaining batches
+                        return {"loss": float("nan"), "images_per_sec": 0.0}
                     raise ValueError(
                         f"train epoch {epoch} produced ZERO batches: the train pool "
                         f"({len(self.dm.train_idx)} segments) is smaller than one "
@@ -406,8 +423,13 @@ class MAETrainer:
             )
             batch_size_of = lambda b: bs  # noqa: E731
         else:
+            host_it = self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches)
+            if skip:
+                import itertools
+
+                host_it = itertools.islice(host_it, skip, None)
             batches = prefetch_to_device(
-                self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches),
+                host_it,
                 sharding=mesh_lib.data_sharding(self.mesh),
                 depth=cfg.datamodule.prefetch,
             )
@@ -426,7 +448,11 @@ class MAETrainer:
                 self.run_logger.log_scalars(
                     {k: float(v) for k, v in m["watch"].items()}, step=self._host_step
                 )
+            if self._preempt_requested:
+                raise PreemptionInterrupt(epoch, skip + n)
         if n == 0:
+            if skip:  # resumed epoch with no remaining batches
+                return {"loss": float("nan"), "images_per_sec": 0.0}
             raise ValueError(
                 f"train epoch {epoch} produced ZERO batches: the train pool "
                 f"({len(self.dm.train_idx)} segments) is smaller than one "
@@ -457,6 +483,16 @@ class MAETrainer:
         continue from (0 when no checkpoint exists). Crash-resume parity with
         the segmentation trainer."""
         assert self.ckpt is not None, "resume requires a checkpoint manager"
+        if epoch is None and self.ckpt.has_preempt():
+            # Exact mid-epoch continuation from a preemption save.
+            self.state, pepoch, done = self.ckpt.restore_preempt(self.state)
+            self._host_step = int(self.state.step)
+            self._skip_batches = done
+            logger.info(
+                f"Resumed MAE training from preemption checkpoint: epoch {pepoch}, "
+                f"{done} batches already trained (exact continuation)"
+            )
+            return pepoch
         latest = epoch if epoch is not None else self.ckpt.latest_epoch()
         if latest is None:
             return 0
@@ -472,8 +508,32 @@ class MAETrainer:
         if cfg.train.run_name is None:
             cfg.train.run_name = get_unique_run_name(postfix=cfg.train.project_name)
         history = []
+        from s2tpu.train.trainer import install_preempt_handler, restore_preempt_handler
+
+        prev_handler = install_preempt_handler(self)
+        try:
+            return self._fit_loop(start_epoch, max_epochs, history)
+        finally:
+            restore_preempt_handler(prev_handler)
+
+    def _fit_loop(self, start_epoch: int, max_epochs: int, history: list) -> list[dict]:
+        cfg = self.config
         for epoch in range(start_epoch, max_epochs):
-            tr = self.run_train_epoch(epoch)
+            try:
+                if self._preempt_requested:  # arrived between epochs / during eval
+                    raise PreemptionInterrupt(epoch, 0)
+                tr = self.run_train_epoch(epoch)
+                if self.ckpt is not None and self.ckpt.has_preempt():
+                    self.ckpt.clear_preempt()  # the interrupted epoch completed
+            except PreemptionInterrupt as pi:
+                if self.ckpt is not None:
+                    self.ckpt.save_preempt(self.state, pi.epoch, pi.batches_done)
+                    self.ckpt.wait()
+                logger.warning(
+                    f"Preempted in epoch {pi.epoch} after {pi.batches_done} batches — "
+                    "state saved; rerun with --resume-from for an exact continuation"
+                )
+                return history
             va = self.run_eval_epoch("val") if len(self.dm.val_idx) else {}
             record = {
                 "epoch": epoch,

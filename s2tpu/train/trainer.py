@@ -64,6 +64,53 @@ def pool_batch_stats(stats_list: list) -> dict:
     return rec(stats_list)
 
 
+class PreemptionInterrupt(Exception):
+    """Raised by the epoch loops at the first step boundary after a SIGTERM
+    (TPU spot preemption / maintenance). Carries how far training got so
+    fit() can write an exact-resume preempt checkpoint."""
+
+    def __init__(self, epoch: int, batches_done: int) -> None:
+        super().__init__(f"preempted in epoch {epoch} after {batches_done} batches")
+        self.epoch = epoch
+        self.batches_done = batches_done
+
+
+def install_preempt_handler(trainer):
+    """SIGTERM → checkpoint-and-exit at the next step boundary (TPU spot
+    preemption / maintenance events send SIGTERM). Installed by fit() when a
+    checkpoint manager is attached. Single-process only — a multi-host
+    preempt save would need cross-process agreement on the stopping batch
+    (signals arrive at different steps per host); skipped outside the main
+    thread (signal-module restriction). Returns the previous handler."""
+    import signal
+
+    if trainer.ckpt is None or jax.process_count() > 1:
+        return None
+
+    def handler(signum, frame):
+        del signum, frame
+        logger.warning(
+            "SIGTERM received — saving a preemption checkpoint at the next step boundary"
+        )
+        trainer._preempt_requested = True
+
+    try:
+        return signal.signal(signal.SIGTERM, handler)
+    except ValueError:  # fit() running outside the main thread
+        return None
+
+
+def restore_preempt_handler(prev) -> None:
+    if prev is None:
+        return
+    import signal
+
+    try:
+        signal.signal(signal.SIGTERM, prev)
+    except ValueError:
+        pass
+
+
 def _watch_norms(grads, params) -> dict:
     """Per-layer gradient/parameter L2 norms plus the global norms, computed
     inside the jit'd step (the TPU equivalent of the reference's
@@ -164,6 +211,8 @@ class SegmentationTrainer:
             )
         self._exact_stats = None  # built lazily by recalibrate_bn, then cached
         self._steps_per_dispatch_warned = False
+        self._preempt_requested = False  # set by the SIGTERM handler (fit)
+        self._skip_batches = 0  # mid-epoch resume: batches to skip (exact replay)
         self.state = self._init_state()
         self._build_steps()
 
@@ -551,7 +600,14 @@ class SegmentationTrainer:
                 )
                 self._steps_per_dispatch_warned = True
             k = 1
-        b = 0
+        # Mid-epoch resume after preemption: replay the epoch's deterministic
+        # draw stream for the already-trained batches (keeps the host RNG
+        # aligned), then continue from the next one.
+        skip = self._skip_batches
+        self._skip_batches = 0
+        for j in range(min(skip, n_batches)):
+            sample(j)
+        b = skip
         while b < n_batches:
             if k > 1 and b + k <= n_batches:
                 # Fused window: one program executes k optimizer steps; the
@@ -582,6 +638,8 @@ class SegmentationTrainer:
                 b += 1
             acc_loss = m["loss"] if acc_loss is None else acc_loss + m["loss"]
             acc_cm = m["cm"] if acc_cm is None else acc_cm + m["cm"]
+            if self._preempt_requested:
+                raise PreemptionInterrupt(epoch, b)
         if n_batches == 0:
             raise ValueError(
                 f"train epoch {epoch} produced ZERO device-corpus batches: the "
@@ -589,9 +647,12 @@ class SegmentationTrainer:
                 f"than one global batch ({bs}) — reduce --bs, the device "
                 "count, or grow the dataset/split"
             )
+        if acc_cm is None:  # resumed epoch whose remaining batches were all skipped
+            return {"loss": float("nan"), "images_per_sec": 0.0}
+        n_run = n_batches - skip
         out = metrics_lib.compute_metrics(np.asarray(acc_cm))
-        out["loss"] = float(acc_loss) / n_batches
-        out["images_per_sec"] = n_batches * bs / max(time.time() - t0, 1e-9)
+        out["loss"] = float(acc_loss) / n_run
+        out["images_per_sec"] = n_run * bs / max(time.time() - t0, 1e-9)
         return out
 
     def run_train_epoch(self, epoch: int) -> dict:
@@ -601,8 +662,19 @@ class SegmentationTrainer:
         acc_loss, acc_cm, n = None, None, 0
         t0 = time.time()
         images_seen = 0
+        # Mid-epoch resume after preemption: the per-epoch batch stream is
+        # deterministic, so skipping the already-trained prefix (before the
+        # prefetch pipeline — the skipped batches never touch the device)
+        # continues the epoch exactly.
+        skip = self._skip_batches
+        self._skip_batches = 0
+        host_it = self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches)
+        if skip:
+            import itertools
+
+            host_it = itertools.islice(host_it, skip, None)
         it = prefetch_to_device(
-            self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches),
+            host_it,
             sharding=self._data_sharding(),
             depth=cfg.datamodule.prefetch,
         )
@@ -620,7 +692,11 @@ class SegmentationTrainer:
                     {"train/loss_step": float(m["loss"])}, step=int(self.state.step)
                 )
             self._maybe_log_watch(i, m)
+            if self._preempt_requested:
+                raise PreemptionInterrupt(epoch, skip + n)
         if n == 0:
+            if skip:  # resumed epoch whose remaining batches were all skipped
+                return {"loss": float("nan"), "images_per_sec": 0.0}
             raise ValueError(
                 f"train epoch {epoch} produced ZERO batches: the train pool "
                 f"({len(self.dm.train_idx)} segments) is smaller than one "
@@ -799,6 +875,17 @@ class SegmentationTrainer:
         only had download-resume; Lightning's ckpt resume equivalent).
         """
         assert self.ckpt is not None, "resume requires a checkpoint manager"
+        if epoch is None and self.ckpt.has_preempt():
+            # Exact mid-epoch continuation from a preemption save: re-enter
+            # the interrupted epoch and skip its already-trained prefix.
+            self.state, pepoch, done = self.ckpt.restore_preempt(self.state)
+            self._host_step = int(self.state.step)
+            self._skip_batches = done
+            logger.info(
+                f"Resumed from preemption checkpoint: epoch {pepoch}, "
+                f"{done} batches already trained (exact continuation)"
+            )
+            return pepoch
         latest = epoch if epoch is not None else self.ckpt.latest_epoch()
         if latest is None:
             return 0
@@ -814,8 +901,30 @@ class SegmentationTrainer:
         if cfg.train.run_name is None:
             cfg.train.run_name = get_unique_run_name(postfix=cfg.train.project_name)
         history: list[dict] = []
+        prev_handler = install_preempt_handler(self)
+        try:
+            return self._fit_loop(start_epoch, max_epochs, history)
+        finally:
+            restore_preempt_handler(prev_handler)
+
+    def _fit_loop(self, start_epoch: int, max_epochs: int, history: list[dict]) -> list[dict]:
+        cfg = self.config
         for epoch in range(start_epoch, max_epochs):
-            train_metrics = self.run_train_epoch(epoch)
+            try:
+                if self._preempt_requested:  # arrived between epochs / during eval
+                    raise PreemptionInterrupt(epoch, 0)
+                train_metrics = self.run_train_epoch(epoch)
+                if self.ckpt is not None and self.ckpt.has_preempt():
+                    self.ckpt.clear_preempt()  # the interrupted epoch completed
+            except PreemptionInterrupt as pi:
+                if self.ckpt is not None:
+                    self.ckpt.save_preempt(self.state, pi.epoch, pi.batches_done)
+                    self.ckpt.wait()
+                logger.warning(
+                    f"Preempted in epoch {pi.epoch} after {pi.batches_done} batches — "
+                    "state saved; rerun with --resume-from for an exact continuation"
+                )
+                return history
             if cfg.train.bn_recalibration_batches > 0 and len(self.dm.val_idx):
                 self.recalibrate_bn(cfg.train.bn_recalibration_batches)
             val_metrics = self.run_eval_epoch("val") if len(self.dm.val_idx) else {}
