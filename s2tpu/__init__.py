@@ -19,3 +19,26 @@ Design notes (TPU-first, not a translation):
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_jax_platforms_env() -> None:
+    """Re-apply an explicit ``JAX_PLATFORMS`` env request over any config
+    override installed before us (the axon TPU-relay sitecustomize hard-sets
+    ``jax_platforms='axon,cpu'`` in jax CONFIG, which silently wins over the
+    env var — a CLI launched with ``JAX_PLATFORMS=cpu`` would otherwise run
+    on the TPU). No-op when the env var is unset or backends already
+    initialized."""
+    import os
+
+    if not os.environ.get("JAX_PLATFORMS"):
+        return
+    import jax
+    from jax._src import xla_bridge
+
+    if jax.config.jax_platforms != os.environ["JAX_PLATFORMS"] and not (
+        xla_bridge.backends_are_initialized()
+    ):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+_honor_jax_platforms_env()

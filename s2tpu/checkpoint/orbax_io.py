@@ -104,18 +104,32 @@ class CheckpointManager:
         return self.directory / "preempt"
 
     def save_preempt(self, state: TrainState, epoch: int, batches_done: int) -> None:
-        ckptr = ocp.StandardCheckpointer()
+        """Multi-host: ALL processes call this with the same (epoch,
+        batches_done) — preempt_requested() guarantees agreement on the
+        stopping batch; Orbax coordinates the sharded write, process 0 owns
+        the filesystem mutations around it."""
+        multi = jax.process_count() > 1
         path = self._preempt_dir.resolve()
-        if path.exists():
+        if jax.process_index() == 0 and path.exists():
             import shutil
 
             shutil.rmtree(path)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("s2tpu_preempt_pre_save")
+        ckptr = ocp.StandardCheckpointer()
         ckptr.save(path / "state", _to_saveable(state))
         ckptr.wait_until_finished()
         ckptr.close()
-        (self.directory / "preempt.json").write_text(
-            json.dumps({"epoch": epoch, "batches_done": batches_done})
-        )
+        if jax.process_index() == 0:
+            (self.directory / "preempt.json").write_text(
+                json.dumps({"epoch": epoch, "batches_done": batches_done})
+            )
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("s2tpu_preempt_post_save")
 
     def has_preempt(self) -> bool:
         return (self.directory / "preempt.json").exists()
@@ -140,6 +154,11 @@ class CheckpointManager:
         return state, int(marker["epoch"]), int(marker["batches_done"])
 
     def clear_preempt(self) -> None:
+        # Process 0 owns the deletion; others no-op (no barrier — a stale
+        # marker between the unlink and another process's next has_preempt()
+        # poll is harmless, the interrupted epoch has already completed).
+        if jax.process_index() != 0:
+            return
         import shutil
 
         (self.directory / "preempt.json").unlink(missing_ok=True)

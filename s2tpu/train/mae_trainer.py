@@ -26,7 +26,7 @@ from s2tpu.data.pipeline import Datamodule, prefetch_to_device
 from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE, unpatchify
 from s2tpu.parallel import mesh as mesh_lib
 from s2tpu.train.train_state import TrainState, cast_floats, make_optimizer, with_f32_master
-from s2tpu.train.trainer import PreemptionInterrupt
+from s2tpu.train.trainer import PreemptionInterrupt, preempt_requested
 from s2tpu.utils import get_logger, get_unique_run_name, load_prithvi_mean_std, load_prithvi_model_args
 
 logger = get_logger(__name__)
@@ -401,7 +401,7 @@ class MAETrainer:
                     images_seen += bs * took
                     self._host_step += took
                     b += took
-                    if self._preempt_requested:
+                    if preempt_requested(self):
                         raise PreemptionInterrupt(epoch, b)
                 if n == 0:
                     if skip:  # resumed epoch with no remaining batches
@@ -448,7 +448,7 @@ class MAETrainer:
                 self.run_logger.log_scalars(
                     {k: float(v) for k, v in m["watch"].items()}, step=self._host_step
                 )
-            if self._preempt_requested:
+            if preempt_requested(self):
                 raise PreemptionInterrupt(epoch, skip + n)
         if n == 0:
             if skip:  # resumed epoch with no remaining batches
@@ -520,7 +520,7 @@ class MAETrainer:
         cfg = self.config
         for epoch in range(start_epoch, max_epochs):
             try:
-                if self._preempt_requested:  # arrived between epochs / during eval
+                if preempt_requested(self):  # arrived between epochs / during eval
                     raise PreemptionInterrupt(epoch, 0)
                 tr = self.run_train_epoch(epoch)
                 if self.ckpt is not None and self.ckpt.has_preempt():

@@ -75,16 +75,35 @@ class PreemptionInterrupt(Exception):
         self.batches_done = batches_done
 
 
+def preempt_requested(trainer) -> bool:
+    """Has any process been asked to preempt?
+
+    Single-process: the handler's local flag. Multi-host: SIGTERMs arrive at
+    different steps per host (maintenance events are per-machine), so the
+    epoch loops call this at every step boundary and it all-gathers the local
+    flags — every process sees True at the SAME batch, which makes the
+    preempt save a globally consistent snapshot. The gather is a few-byte
+    collective per step (~100 µs over DCN, noise next to a train step);
+    all processes must call it in lockstep, which the loops guarantee
+    (equal per-process batch counts by construction). Without a checkpoint
+    manager there is nothing to save — the local flag alone ends the run."""
+    if jax.process_count() == 1 or trainer.ckpt is None:
+        return trainer._preempt_requested
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.process_allgather(np.int32(trainer._preempt_requested)).any())
+
+
 def install_preempt_handler(trainer):
     """SIGTERM → checkpoint-and-exit at the next step boundary (TPU spot
     preemption / maintenance events send SIGTERM). Installed by fit() when a
-    checkpoint manager is attached. Single-process only — a multi-host
-    preempt save would need cross-process agreement on the stopping batch
-    (signals arrive at different steps per host); skipped outside the main
-    thread (signal-module restriction). Returns the previous handler."""
+    checkpoint manager is attached; under multi-host the per-process flags
+    are reconciled by preempt_requested() so every host stops at the same
+    batch. Skipped outside the main thread (signal-module restriction).
+    Returns the previous handler."""
     import signal
 
-    if trainer.ckpt is None or jax.process_count() > 1:
+    if trainer.ckpt is None:
         return None
 
     def handler(signum, frame):
@@ -638,7 +657,7 @@ class SegmentationTrainer:
                 b += 1
             acc_loss = m["loss"] if acc_loss is None else acc_loss + m["loss"]
             acc_cm = m["cm"] if acc_cm is None else acc_cm + m["cm"]
-            if self._preempt_requested:
+            if preempt_requested(self):
                 raise PreemptionInterrupt(epoch, b)
         if n_batches == 0:
             raise ValueError(
@@ -692,7 +711,7 @@ class SegmentationTrainer:
                     {"train/loss_step": float(m["loss"])}, step=int(self.state.step)
                 )
             self._maybe_log_watch(i, m)
-            if self._preempt_requested:
+            if preempt_requested(self):
                 raise PreemptionInterrupt(epoch, skip + n)
         if n == 0:
             if skip:  # resumed epoch whose remaining batches were all skipped
@@ -911,7 +930,7 @@ class SegmentationTrainer:
         cfg = self.config
         for epoch in range(start_epoch, max_epochs):
             try:
-                if self._preempt_requested:  # arrived between epochs / during eval
+                if preempt_requested(self):  # arrived between epochs / during eval
                     raise PreemptionInterrupt(epoch, 0)
                 train_metrics = self.run_train_epoch(epoch)
                 if self.ckpt is not None and self.ckpt.has_preempt():

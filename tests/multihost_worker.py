@@ -106,6 +106,58 @@ elif mode == "mae_corpus":
         "val_loss": rec.get("val/loss"),
         "val_iou": 0.0,
     }
+elif mode == "preempt":
+    # Multi-host preemption: SIGTERM lands on ONE host only; the per-step
+    # flag all-gather (preempt_requested) makes every process stop at the
+    # SAME batch, all processes cooperate in the Orbax preempt save, and a
+    # second multi-host run resumes mid-epoch to a state identical to an
+    # uninterrupted run. Phases (S2TPU_PREEMPT_PHASE): ref | interrupt |
+    # resume.
+    import signal  # noqa: E402
+
+    from s2tpu.checkpoint.orbax_io import CheckpointManager  # noqa: E402
+    from s2tpu.configs import segmentation as cfg_lib  # noqa: E402
+    from s2tpu.data.pipeline import Datamodule  # noqa: E402
+    from s2tpu.train.trainer import SegmentationTrainer  # noqa: E402
+
+    phase = os.environ["S2TPU_PREEMPT_PHASE"]
+    config = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    config.datamodule.dataset_cfg.data_dir = fixture_dir
+    config.datamodule.batch_size = 4 * n_proc
+    config.datamodule.random_crop_size = 64
+    config.datamodule.data_split = (1.0, 0.0, 0.0)
+    config.train.compute_dtype = "float32"
+    dm = Datamodule(config.datamodule)
+    mgr = CheckpointManager(os.environ["S2TPU_PREEMPT_CKPT"]) if phase != "ref" else None
+    trainer = SegmentationTrainer(config, dm, mesh=mesh, checkpoint_manager=mgr)
+    start, skip_at_resume = 0, 0
+    if phase == "interrupt":
+        orig = trainer.train_step
+        calls = {"n": 0}
+
+        def wrapped(*a, **kw):
+            out = orig(*a, **kw)
+            calls["n"] += 1
+            if calls["n"] == 1 and pid == 0:  # only host 0 is preempted
+                signal.raise_signal(signal.SIGTERM)
+            return out
+
+        trainer.train_step = wrapped
+    elif phase == "resume":
+        start = trainer.resume_from_checkpoint()
+        skip_at_resume = trainer._skip_batches
+    history = trainer.fit(epochs=1, start_epoch=start)
+    leaves = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))
+    result = {
+        "pid": pid,
+        "phase": phase,
+        "step": int(trainer.state.step),
+        "start_epoch": start,
+        "skip_at_resume": skip_at_resume,
+        "epochs_completed": len(history),
+        "has_preempt": bool(mgr.has_preempt()) if mgr is not None else False,
+        "param_fingerprint": float(sum(np.float64(np.asarray(x)).sum() for x in leaves)),
+    }
 else:
     from s2tpu.configs import segmentation as cfg_lib  # noqa: E402
     from s2tpu.data.pipeline import Datamodule  # noqa: E402

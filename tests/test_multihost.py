@@ -145,6 +145,46 @@ def test_two_process_mae_sharded_corpus(mh_fixture):
 
 
 @pytest.mark.slow
+def test_two_process_preemption_exact_resume(mh_fixture, tmp_path):
+    """Multi-host preemption: SIGTERM lands on ONE host; the per-step flag
+    all-gather stops BOTH processes at the same batch, the preempt save is a
+    cooperative Orbax write, and a second 2-process run resumes mid-epoch —
+    final params identical to an uninterrupted 2-process run."""
+    ckpt_dir = tmp_path / "preempt_ckpt"
+    env = {"S2TPU_PREEMPT_CKPT": str(ckpt_dir)}
+
+    ref = _run_workers(
+        mh_fixture, n_proc=2, mode="preempt",
+        extra_env={**env, "S2TPU_PREEMPT_PHASE": "ref"},
+    )
+    assert [r["step"] for r in ref] == [8, 8]  # 64 segments / global bs 8
+    assert ref[0]["param_fingerprint"] == ref[1]["param_fingerprint"]
+
+    interrupted = _run_workers(
+        mh_fixture, n_proc=2, mode="preempt",
+        extra_env={**env, "S2TPU_PREEMPT_PHASE": "interrupt"},
+    )
+    # Agreement: both processes stopped at the SAME batch even though only
+    # process 0 received the signal.
+    assert interrupted[0]["step"] == interrupted[1]["step"] == 1
+    assert all(r["epochs_completed"] == 0 for r in interrupted)
+    assert all(r["has_preempt"] for r in interrupted)
+
+    resumed = _run_workers(
+        mh_fixture, n_proc=2, mode="preempt",
+        extra_env={**env, "S2TPU_PREEMPT_PHASE": "resume"},
+    )
+    assert all(r["start_epoch"] == 0 and r["skip_at_resume"] == 1 for r in resumed)
+    assert [r["step"] for r in resumed] == [8, 8]
+    assert all(r["epochs_completed"] == 1 for r in resumed)
+    assert not resumed[0]["has_preempt"]  # pid 0 owns the marker deletion
+    assert resumed[0]["param_fingerprint"] == resumed[1]["param_fingerprint"]
+    np.testing.assert_allclose(
+        resumed[0]["param_fingerprint"], ref[0]["param_fingerprint"], rtol=1e-9
+    )
+
+
+@pytest.mark.slow
 def test_two_process_tiled_serving(fixture_dir, tmp_path):
     """Multi-host tiled serving (TODO r3 #10): two processes each drive the
     real inference CLI; the CLI round-robins the val segments per process,
