@@ -94,7 +94,8 @@ def main() -> None:
     rng = np.random.default_rng(1)
     state = trainer.state
 
-    if MODE == "corpus":
+    mode = MODE
+    if mode == "corpus":
         hw = source.images.shape[1]
 
         def draw_window():
@@ -110,22 +111,32 @@ def main() -> None:
                 idx, ys, xs, trainer.base_rng,
             )
 
-        for _ in range(2):  # compile + one clean warmup window
-            state, metrics = run_window(state)
-        jax.block_until_ready(metrics["loss"])
-        t0 = time.perf_counter()
-        for _ in range(WINDOWS):
-            state, metrics = run_window(state)
-        jax.block_until_ready(metrics["loss"])
-        elapsed = time.perf_counter() - t0
-        n_steps = WINDOWS * K
-        lower_args = (
-            state, trainer.corpus.images, trainer.corpus.labels,
-            *draw_window(), trainer.base_rng,
-        )
-        lower = lambda: trainer.train_step_indexed_multi.lower(*lower_args)  # noqa: E731
-        flops_div = K
-    else:
+        try:
+            for _ in range(2):  # compile + one clean warmup window
+                state, metrics = run_window(state)
+            jax.block_until_ready(metrics["loss"])
+            t0 = time.perf_counter()
+            for _ in range(WINDOWS):
+                state, metrics = run_window(state)
+            jax.block_until_ready(metrics["loss"])
+            elapsed = time.perf_counter() - t0
+            n_steps = WINDOWS * K
+            lower_args = (
+                state, trainer.corpus.images, trainer.corpus.labels,
+                *draw_window(), trainer.base_rng,
+            )
+            lower = lambda: trainer.train_step_indexed_multi.lower(*lower_args)  # noqa: E731
+            flops_div = K
+        except Exception as e:  # noqa: BLE001 — never zero out the bench record
+            print(f"bench: corpus mode failed ({type(e).__name__}: {e}); "
+                  "falling back to streamed", file=sys.stderr)
+            mode = "streamed"
+            # Rebuild: the failed windows may have consumed (donated) the
+            # original state buffers.
+            config.train.device_corpus = False
+            trainer = SegmentationTrainer(config, dm, mesh=mesh)
+            state = trainer.state
+    if mode == "streamed":
         images = jax.device_put(
             rng.integers(0, 4000, size=(BATCH, CROP, CROP, 6), dtype=np.int16),
             mesh_lib.data_sharding(mesh),
@@ -168,7 +179,7 @@ def main() -> None:
     }
     if mfu is not None:
         record["mfu"] = round(mfu, 4)
-    record["mode"] = MODE if MODE == "streamed" else f"device_corpus+steps_per_dispatch={K}"
+    record["mode"] = mode if mode == "streamed" else f"device_corpus+steps_per_dispatch={K}"
     print(json.dumps(record))
 
 

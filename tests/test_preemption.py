@@ -24,7 +24,7 @@ from s2tpu.train.mae_trainer import MAETrainer
 from s2tpu.train.trainer import SegmentationTrainer
 
 
-def _seg_trainer(fixture_dir, ckpt_dir):
+def _seg_trainer(fixture_dir, ckpt_dir, steps_per_dispatch: int = 1):
     c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
     c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
     c.datamodule.batch_size = 2
@@ -32,6 +32,7 @@ def _seg_trainer(fixture_dir, ckpt_dir):
     c.datamodule.random_crop_size = 64
     c.train.compute_dtype = "float32"
     c.train.device_corpus = True
+    c.train.steps_per_dispatch = steps_per_dispatch
     c.train.max_epochs = 1
     dm = Datamodule(c.datamodule)
     ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
@@ -78,6 +79,33 @@ def test_seg_preempt_save_and_exact_resume(fixture_dir, tmp_path):
     r.fit(epochs=1, start_epoch=start)
     assert int(r.state.step) == 3
     assert not r.ckpt.has_preempt()  # marker cleared after the epoch completed
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref.state.params), jax.tree_util.tree_leaves(r.state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_seg_preempt_fused_dispatch_window(fixture_dir, tmp_path):
+    """Preemption inside fused-dispatch mode (steps_per_dispatch=2): the
+    interrupt lands at a WINDOW boundary (2 optimizer steps done), resume
+    skips the trained prefix and finishes the remainder batch."""
+    ref = _seg_trainer(fixture_dir, tmp_path / "ref", steps_per_dispatch=2)
+    ref.fit(epochs=1)
+    assert int(ref.state.step) == 3  # one fused window (2) + remainder (1)
+
+    ckpt_dir = tmp_path / "int"
+    t = _seg_trainer(fixture_dir, ckpt_dir, steps_per_dispatch=2)
+    _sigterm_after_first_step(t, "train_step_indexed_multi")
+    assert t.fit(epochs=1) == []
+    assert int(t.state.step) == 2  # the full window committed before the stop
+    assert t.ckpt.has_preempt()
+    t.ckpt.close()
+
+    r = _seg_trainer(fixture_dir, ckpt_dir, steps_per_dispatch=2)
+    start = r.resume_from_checkpoint()
+    assert start == 0 and r._skip_batches == 2
+    r.fit(epochs=1, start_epoch=start)
+    assert int(r.state.step) == 3
     for a, b in zip(
         jax.tree_util.tree_leaves(ref.state.params), jax.tree_util.tree_leaves(r.state.params)
     ):
