@@ -35,13 +35,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import s2tpu  # noqa: F401 — re-applies an explicit JAX_PLATFORMS env request
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/s2tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-if os.environ.get("JAX_PLATFORMS"):
-    # The axon sitecustomize hard-sets jax_platforms='axon,cpu' in CONFIG,
-    # which overrides the env var — honor an explicit env request (CPU
-    # smoke tests) by re-applying it after import.
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 REF_A100_IMG_PER_SEC = 230.0  # estimated reference throughput (see docstring)
 
@@ -81,37 +78,40 @@ def main() -> None:
     config.datamodule.random_crop_size = CROP
     config.datamodule.data_split = (1.0, 0.0, 0.0)
     config.train.compute_dtype = "bfloat16"
-    if MODE == "corpus":
-        config.train.device_corpus = True
-        config.train.steps_per_dispatch = K
 
     source = SyntheticSource()
     dm = Datamodule(config.datamodule, source=source)
     dm.set_mean_std(np.full(6, 1500.0, np.float32), np.full(6, 900.0, np.float32))
     mesh = mesh_lib.make_mesh(1)
-    trainer = SegmentationTrainer(config, dm, mesh=mesh)
-
     rng = np.random.default_rng(1)
-    state = trainer.state
 
     mode = MODE
+    trainer = None
     if mode == "corpus":
         hw = source.images.shape[1]
-
-        def draw_window():
-            idx = rng.integers(0, trainer.corpus.n, size=(K, BATCH)).astype(np.int32)
-            ys = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
-            xs = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
-            return idx, ys, xs
-
-        def run_window(state):
-            idx, ys, xs = draw_window()
-            return trainer.train_step_indexed_multi(
-                state, trainer.corpus.images, trainer.corpus.labels,
-                idx, ys, xs, trainer.base_rng,
-            )
-
+        # The whole corpus path — INCLUDING trainer construction, which
+        # uploads the corpus into HBM — is guarded: any failure (e.g. corpus
+        # + state OOM on a smaller part) falls back to the streamed
+        # measurement instead of zeroing out the bench record.
         try:
+            config.train.device_corpus = True
+            config.train.steps_per_dispatch = K
+            trainer = SegmentationTrainer(config, dm, mesh=mesh)
+            state = trainer.state
+
+            def draw_window():
+                idx = rng.integers(0, trainer.corpus.n, size=(K, BATCH)).astype(np.int32)
+                ys = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
+                xs = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
+                return idx, ys, xs
+
+            def run_window(state):
+                idx, ys, xs = draw_window()
+                return trainer.train_step_indexed_multi(
+                    state, trainer.corpus.images, trainer.corpus.labels,
+                    idx, ys, xs, trainer.base_rng,
+                )
+
             for _ in range(2):  # compile + one clean warmup window
                 state, metrics = run_window(state)
             jax.block_until_ready(metrics["loss"])
@@ -131,12 +131,13 @@ def main() -> None:
             print(f"bench: corpus mode failed ({type(e).__name__}: {e}); "
                   "falling back to streamed", file=sys.stderr)
             mode = "streamed"
-            # Rebuild: the failed windows may have consumed (donated) the
-            # original state buffers.
+            trainer = None  # rebuild below: windows may have consumed donated state
             config.train.device_corpus = False
-            trainer = SegmentationTrainer(config, dm, mesh=mesh)
-            state = trainer.state
+            config.train.steps_per_dispatch = 1
     if mode == "streamed":
+        if trainer is None:
+            trainer = SegmentationTrainer(config, dm, mesh=mesh)
+        state = trainer.state
         images = jax.device_put(
             rng.integers(0, 4000, size=(BATCH, CROP, CROP, 6), dtype=np.int16),
             mesh_lib.data_sharding(mesh),

@@ -33,11 +33,14 @@ def _honor_jax_platforms_env() -> None:
     if not os.environ.get("JAX_PLATFORMS"):
         return
     import jax
-    from jax._src import xla_bridge
 
-    if jax.config.jax_platforms != os.environ["JAX_PLATFORMS"] and not (
-        xla_bridge.backends_are_initialized()
-    ):
+    try:
+        from jax._src import xla_bridge  # private: guard against jax moving it
+
+        initialized = xla_bridge.backends_are_initialized()
+    except Exception:  # noqa: BLE001 — fall back to applying the override
+        initialized = False
+    if jax.config.jax_platforms != os.environ["JAX_PLATFORMS"] and not initialized:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 

@@ -166,8 +166,15 @@ class Datamodule:
             labels[k] = lbl
         return HostBatch(images, labels, np.ones(n, dtype=bool))
 
-    def train_batches(self, epoch: int, overfit_batches: int = 0) -> typing.Iterator[HostBatch]:
-        """One epoch of shuffled, randomly-cropped, drop-last train batches."""
+    def train_batches(
+        self, epoch: int, overfit_batches: int = 0, start: int = 0
+    ) -> typing.Iterator[HostBatch]:
+        """One epoch of shuffled, randomly-cropped, drop-last train batches.
+
+        ``start`` skips the first batches WITHOUT loading their images (the
+        per-batch RNG draws still advance, keeping the stream identical) —
+        mid-epoch preemption resume is O(skip) cheap draws, not O(skip)
+        full batch loads."""
         bs = self.cfg.batch_size
         rng = epoch_rng(self.cfg.shuffle_seed, epoch, overfit_batches)
         order, n_batches = sample_epoch_order(
@@ -189,6 +196,8 @@ class Datamodule:
                 x0 = (hw[1] - self.cfg.random_crop_size) // 2
                 ys = np.full(bs, y0)
                 xs = np.full(bs, x0)
+            if b < start:
+                continue  # replay the draw stream only
             if self.n_proc > 1:
                 # Same global draws on every process; gather only our shard.
                 sl = self._local_slice(bs)

@@ -84,6 +84,7 @@ class MAETrainer:
         self._host_step = 0  # host mirror of state.step (watch gating, no sync)
         self._preempt_requested = False  # set by the SIGTERM handler (fit)
         self._skip_batches = 0  # mid-epoch resume: batches to skip (exact replay)
+        self._resumed_from_preempt = False  # this run consumed the preempt marker
         self.corpus = None
         if getattr(config.train, "device_corpus", False):
             sharded = getattr(config.train, "device_corpus_sharded", False)
@@ -401,7 +402,9 @@ class MAETrainer:
                     images_seen += bs * took
                     self._host_step += took
                     b += took
-                    if preempt_requested(self):
+                    # b == n_batches: the epoch just finished — let it
+                    # complete rather than resume into a zero-batch epoch.
+                    if b < n_batches and preempt_requested(self):
                         raise PreemptionInterrupt(epoch, b)
                 if n == 0:
                     if skip:  # resumed epoch with no remaining batches
@@ -423,19 +426,18 @@ class MAETrainer:
             )
             batch_size_of = lambda b: bs  # noqa: E731
         else:
-            host_it = self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches)
-            if skip:
-                import itertools
-
-                host_it = itertools.islice(host_it, skip, None)
             batches = prefetch_to_device(
-                host_it,
+                self.dm.train_batches(
+                    epoch, overfit_batches=cfg.train.overfit_batches, start=skip
+                ),
                 sharding=mesh_lib.data_sharding(self.mesh),
                 depth=cfg.datamodule.prefetch,
             )
             step = lambda b: self.train_step(self.state, b.images, self.base_rng)  # noqa: E731
             batch_size_of = lambda b: b.images.shape[0]  # noqa: E731
-        for batch in batches:
+        from s2tpu.train.trainer import _with_is_last
+
+        for batch, is_last in _with_is_last(batches):
             self.state, m = step(batch)
             acc = m["loss"] if acc is None else acc + m["loss"]
             n += 1
@@ -448,7 +450,7 @@ class MAETrainer:
                 self.run_logger.log_scalars(
                     {k: float(v) for k, v in m["watch"].items()}, step=self._host_step
                 )
-            if preempt_requested(self):
+            if not is_last and preempt_requested(self):
                 raise PreemptionInterrupt(epoch, skip + n)
         if n == 0:
             if skip:  # resumed epoch with no remaining batches
@@ -488,6 +490,7 @@ class MAETrainer:
             self.state, pepoch, done = self.ckpt.restore_preempt(self.state)
             self._host_step = int(self.state.step)
             self._skip_batches = done
+            self._resumed_from_preempt = True  # gates clear_preempt in _fit_loop
             logger.info(
                 f"Resumed MAE training from preemption checkpoint: epoch {pepoch}, "
                 f"{done} batches already trained (exact continuation)"
@@ -521,10 +524,19 @@ class MAETrainer:
         for epoch in range(start_epoch, max_epochs):
             try:
                 if preempt_requested(self):  # arrived between epochs / during eval
-                    raise PreemptionInterrupt(epoch, 0)
+                    # Preserve a just-restored skip prefix: re-saving with 0
+                    # would double-train it on the next resume.
+                    raise PreemptionInterrupt(epoch, self._skip_batches)
                 tr = self.run_train_epoch(epoch)
-                if self.ckpt is not None and self.ckpt.has_preempt():
-                    self.ckpt.clear_preempt()  # the interrupted epoch completed
+                if (
+                    self.ckpt is not None
+                    and getattr(self, "_resumed_from_preempt", False)
+                    and self.ckpt.has_preempt()
+                ):
+                    # Clear ONLY the marker this run consumed (a fresh fit()
+                    # must not destroy another run's preempt state).
+                    self.ckpt.clear_preempt()
+                    self._resumed_from_preempt = False
             except PreemptionInterrupt as pi:
                 if self.ckpt is not None:
                     self.ckpt.save_preempt(self.state, pi.epoch, pi.batches_done)

@@ -94,17 +94,20 @@ def preempt_requested(trainer) -> bool:
     return bool(multihost_utils.process_allgather(np.int32(trainer._preempt_requested)).any())
 
 
+_HANDLER_NOT_INSTALLED = object()  # distinct from prev=None (a C-level handler)
+
+
 def install_preempt_handler(trainer):
     """SIGTERM → checkpoint-and-exit at the next step boundary (TPU spot
     preemption / maintenance events send SIGTERM). Installed by fit() when a
     checkpoint manager is attached; under multi-host the per-process flags
     are reconciled by preempt_requested() so every host stops at the same
     batch. Skipped outside the main thread (signal-module restriction).
-    Returns the previous handler."""
+    Returns the previous handler (or the not-installed sentinel)."""
     import signal
 
     if trainer.ckpt is None:
-        return None
+        return _HANDLER_NOT_INSTALLED
 
     def handler(signum, frame):
         del signum, frame
@@ -116,18 +119,38 @@ def install_preempt_handler(trainer):
     try:
         return signal.signal(signal.SIGTERM, handler)
     except ValueError:  # fit() running outside the main thread
-        return None
+        return _HANDLER_NOT_INSTALLED
 
 
 def restore_preempt_handler(prev) -> None:
-    if prev is None:
+    if prev is _HANDLER_NOT_INSTALLED:
         return
     import signal
 
     try:
-        signal.signal(signal.SIGTERM, prev)
+        # prev is None when the pre-fit() disposition was installed outside
+        # Python (a C-level handler) — that can't be re-installed from here;
+        # fall back to SIG_DFL rather than leaving the trainer-capturing
+        # closure alive after fit() returns.
+        signal.signal(signal.SIGTERM, prev if prev is not None else signal.SIG_DFL)
     except ValueError:
         pass
+
+
+def _with_is_last(it):
+    """Yield ``(item, is_last)`` with one-item lookahead — lets the epoch
+    loops skip the preemption stop on the FINAL batch (the epoch is about to
+    complete anyway; stopping there would make resume re-enter an epoch with
+    zero remaining batches)."""
+    it = iter(it)
+    try:
+        prev = next(it)
+    except StopIteration:
+        return
+    for cur in it:
+        yield prev, False
+        prev = cur
+    yield prev, True
 
 
 def _watch_norms(grads, params) -> dict:
@@ -232,6 +255,7 @@ class SegmentationTrainer:
         self._steps_per_dispatch_warned = False
         self._preempt_requested = False  # set by the SIGTERM handler (fit)
         self._skip_batches = 0  # mid-epoch resume: batches to skip (exact replay)
+        self._resumed_from_preempt = False  # this run consumed the preempt marker
         self.state = self._init_state()
         self._build_steps()
 
@@ -657,7 +681,9 @@ class SegmentationTrainer:
                 b += 1
             acc_loss = m["loss"] if acc_loss is None else acc_loss + m["loss"]
             acc_cm = m["cm"] if acc_cm is None else acc_cm + m["cm"]
-            if preempt_requested(self):
+            # b == n_batches means the epoch just finished — let it complete
+            # (stopping there would resume into a zero-batch epoch).
+            if b < n_batches and preempt_requested(self):
                 raise PreemptionInterrupt(epoch, b)
         if n_batches == 0:
             raise ValueError(
@@ -682,22 +708,17 @@ class SegmentationTrainer:
         t0 = time.time()
         images_seen = 0
         # Mid-epoch resume after preemption: the per-epoch batch stream is
-        # deterministic, so skipping the already-trained prefix (before the
-        # prefetch pipeline — the skipped batches never touch the device)
-        # continues the epoch exactly.
+        # deterministic, so skipping the already-trained prefix (start=
+        # replays the RNG draws without loading images — the skipped batches
+        # never touch disk or device) continues the epoch exactly.
         skip = self._skip_batches
         self._skip_batches = 0
-        host_it = self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches)
-        if skip:
-            import itertools
-
-            host_it = itertools.islice(host_it, skip, None)
         it = prefetch_to_device(
-            host_it,
+            self.dm.train_batches(epoch, overfit_batches=cfg.train.overfit_batches, start=skip),
             sharding=self._data_sharding(),
             depth=cfg.datamodule.prefetch,
         )
-        for i, batch in enumerate(it):
+        for i, (batch, is_last) in enumerate(_with_is_last(it)):
             self.state, m = self.train_step(
                 self.state, batch.images, batch.labels, self.base_rng,
                 with_watch=self._watch_this_step(),
@@ -711,7 +732,7 @@ class SegmentationTrainer:
                     {"train/loss_step": float(m["loss"])}, step=int(self.state.step)
                 )
             self._maybe_log_watch(i, m)
-            if preempt_requested(self):
+            if not is_last and preempt_requested(self):
                 raise PreemptionInterrupt(epoch, skip + n)
         if n == 0:
             if skip:  # resumed epoch whose remaining batches were all skipped
@@ -900,6 +921,7 @@ class SegmentationTrainer:
             self.state, pepoch, done = self.ckpt.restore_preempt(self.state)
             self._host_step = int(self.state.step)
             self._skip_batches = done
+            self._resumed_from_preempt = True  # gates clear_preempt in _fit_loop
             logger.info(
                 f"Resumed from preemption checkpoint: epoch {pepoch}, "
                 f"{done} batches already trained (exact continuation)"
@@ -931,10 +953,21 @@ class SegmentationTrainer:
         for epoch in range(start_epoch, max_epochs):
             try:
                 if preempt_requested(self):  # arrived between epochs / during eval
-                    raise PreemptionInterrupt(epoch, 0)
+                    # Preserve a just-restored skip prefix: re-saving with 0
+                    # would double-train it on the next resume.
+                    raise PreemptionInterrupt(epoch, self._skip_batches)
                 train_metrics = self.run_train_epoch(epoch)
-                if self.ckpt is not None and self.ckpt.has_preempt():
-                    self.ckpt.clear_preempt()  # the interrupted epoch completed
+                if (
+                    self.ckpt is not None
+                    and getattr(self, "_resumed_from_preempt", False)
+                    and self.ckpt.has_preempt()
+                ):
+                    # Clear ONLY the marker this run actually consumed — a
+                    # fresh fit() in a directory holding someone else's
+                    # preempt state must not destroy it (the operator may
+                    # still --resume-from it).
+                    self.ckpt.clear_preempt()
+                    self._resumed_from_preempt = False
             except PreemptionInterrupt as pi:
                 if self.ckpt is not None:
                     self.ckpt.save_preempt(self.state, pi.epoch, pi.batches_done)

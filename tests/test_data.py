@@ -124,6 +124,29 @@ def test_datamodule_train_batches(fixture_dir):
     assert not np.array_equal(b.images, b1.images)
 
 
+def test_train_batches_start_replays_draw_stream(fixture_dir):
+    """start=k yields exactly the full stream's batches [k:] — the skipped
+    prefix advances the RNG draws without loading images (O(1)-cheap
+    mid-epoch preemption resume)."""
+    cfg = DatamoduleConfig(
+        dataset_cfg=DatasetConfig(
+            aoi="small", label_map="osm-multiclass", data_dir=str(fixture_dir)
+        ),
+        batch_size=2,
+        data_split=(1.0, 0.0, 0.0),  # 6 train → 3 batches
+        random_crop_size=64,
+    )
+    dm = Datamodule(cfg)
+    full = list(dm.train_batches(epoch=0))
+    assert len(full) == 3
+    for k in range(4):
+        tail = list(dm.train_batches(epoch=0, start=k))
+        assert len(tail) == 3 - k
+        for a, b in zip(full[k:], tail):
+            np.testing.assert_array_equal(a.images, b.images)
+            np.testing.assert_array_equal(a.labels, b.labels)
+
+
 def test_datamodule_eval_padding(fixture_dir):
     dm = _dm(fixture_dir)
     batches = list(dm.eval_batches("val"))

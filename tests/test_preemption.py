@@ -112,6 +112,27 @@ def test_seg_preempt_fused_dispatch_window(fixture_dir, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+def test_seg_preempt_between_epochs(fixture_dir, tmp_path):
+    """A preemption flag that lands between epochs (e.g. during eval) is
+    caught by the pre-epoch check: the save records (next_epoch, 0 batches)
+    and resume re-enters at that epoch boundary with nothing to skip."""
+    ckpt_dir = tmp_path / "ck"
+    t = _seg_trainer(fixture_dir, ckpt_dir)
+    t.fit(epochs=1)  # epoch 0 completes normally
+    t._preempt_requested = True  # SIGTERM during the eval/boundary window
+    assert t.fit(epochs=2, start_epoch=1) == []
+    assert t.ckpt.has_preempt()
+    t.ckpt.close()
+
+    r = _seg_trainer(fixture_dir, ckpt_dir)
+    start = r.resume_from_checkpoint()
+    assert start == 1 and r._skip_batches == 0
+    assert int(r.state.step) == 3  # epoch 0's three optimizer steps
+    r.fit(epochs=2, start_epoch=start)
+    assert int(r.state.step) == 6
+    assert not r.ckpt.has_preempt()
+
+
 def test_mae_preempt_streamed_resume(fixture_dir, tmp_path):
     """Same contract on the MAE trainer's host-streamed loop (islice skip)."""
     from tests.test_mae_trainer import TINY
