@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--resume-from", default=None,
         help="checkpoint dir of a previous run — restores latest state and continues",
     )
+    p.add_argument(
+        "--auto-resume", action="store_true",
+        help="resume from this run's own checkpoint dir when it holds state "
+        "(incl. a mid-epoch preemption save) — lets spot-instance restart "
+        "loops rerun the SAME command line; requires a stable --name",
+    )
     return p
 
 
@@ -116,7 +122,13 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
         config.model.pipeline_stages = args.pp
     if args.pp_microbatches:
         config.model.pipeline_microbatches = args.pp_microbatches
-    t.run_name = get_unique_run_name(name=args.name, postfix=t.project_name)
+    # --auto-resume needs a run name (→ checkpoint dir) that is STABLE across
+    # invocations of the same command line; otherwise append a unique id.
+    t.run_name = (
+        f"{args.name or 'run'}_{t.project_name}"
+        if args.auto_resume
+        else get_unique_run_name(name=args.name, postfix=t.project_name)
+    )
     t.wandb_entity = os.getenv("WANDB_ENTITY")
     return config
 
@@ -175,7 +187,9 @@ def main(argv: list[str] | None = None) -> None:
         ckpt_dir, keep=config.train.ckpt_keep, config_dict=dataclasses.asdict(config)
     )
     trainer = MAETrainer(config, dm, run_logger=run_logger, checkpoint_manager=ckpt)
-    start_epoch = trainer.resume_from_checkpoint() if args.resume_from else 0
+    start_epoch = (
+        trainer.resume_from_checkpoint() if (args.resume_from or args.auto_resume) else 0
+    )
     epochs = config.train.max_epochs if config.train.max_epochs > 0 else 10**6
     try:
         trainer.fit(epochs=epochs, start_epoch=start_epoch)

@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint dir of a previous run — restores latest state and continues",
     )
     p.add_argument(
+        "--auto-resume", action="store_true",
+        help="resume from this run's own checkpoint dir when it holds state "
+        "(incl. a mid-epoch preemption save) — lets spot-instance restart "
+        "loops rerun the SAME command line; requires a stable --name",
+    )
+    p.add_argument(
         "--backbone-ckpt", default=None,
         help="fc-prithvi: init the backbone from an s2tpu MAE pretraining checkpoint dir",
     )
@@ -141,7 +147,13 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     t.cosine_lr_sched_min_lr = args.cosine_lr_sched_min_lr
     t.cosine_lr_sched_warmup_steps = args.cosine_lr_sched_warmup_steps
     t.cosine_lr_sched_gamma = args.cosine_lr_sched_gamma
-    t.run_name = get_unique_run_name(name=args.name, postfix=t.project_name)
+    # --auto-resume needs a run name (→ checkpoint dir) that is STABLE across
+    # invocations of the same command line; otherwise append a unique id.
+    t.run_name = (
+        f"{args.name or 'run'}_{t.project_name}"
+        if args.auto_resume
+        else get_unique_run_name(name=args.name, postfix=t.project_name)
+    )
     t.wandb_entity = os.getenv("WANDB_ENTITY")
     return config
 
@@ -238,7 +250,9 @@ def main(argv: list[str] | None = None) -> None:
         checkpoint_manager=ckpt,
         param_sharding="fsdp" if args.fsdp else "replicated",
     )
-    start_epoch = trainer.resume_from_checkpoint() if args.resume_from else 0
+    start_epoch = (
+        trainer.resume_from_checkpoint() if (args.resume_from or args.auto_resume) else 0
+    )
     epochs = config.train.max_epochs if config.train.max_epochs > 0 else 10**6
     try:
         trainer.fit(epochs=epochs, start_epoch=start_epoch)

@@ -12,6 +12,7 @@ import signal
 
 import jax
 import numpy as np
+import pytest
 
 from s2tpu.configs import mae as mae_cfg
 from s2tpu.configs import segmentation as cfg_lib
@@ -184,3 +185,34 @@ def test_mae_preempt_streamed_resume(fixture_dir, tmp_path):
         jax.tree_util.tree_leaves(ref.state.params), jax.tree_util.tree_leaves(r.state.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_cli_auto_resume(fixture_dir, tmp_path, monkeypatch):
+    """--auto-resume: rerunning the SAME command line (spot-instance restart
+    loop) picks up the run's own checkpoint dir — including epoch state —
+    without an explicit --resume-from. The run name must be deterministic
+    for this to work (no random id when --auto-resume is set)."""
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.cli import train_segmentation as cli
+
+    monkeypatch.setattr(cli, "CKPT_DIR", tmp_path / "ckpts")
+    monkeypatch.setattr(cli, "LOG_DIR", tmp_path / "logs")
+    argv = [
+        "small", "osm-multiclass", "efficientnet-unet-b0",
+        "--data-dir", str(fixture_dir), "--bs", "2", "--crop", "64",
+        "--compute-dtype", "float32", "--num-devices", "1",
+        "--wandb", "--name", "ar", "--auto-resume",
+    ]
+    cli.main([*argv, "--epochs", "1"])
+    ckpt_dir = tmp_path / "ckpts" / "sentinel-segmentation" / "ar_sentinel-segmentation"
+    assert ckpt_dir.exists(), "auto-resume run name must be deterministic"
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_epoch() == 0
+    mgr.close()
+
+    # Same command, more epochs: resumes at epoch 1 instead of restarting.
+    cli.main([*argv, "--epochs", "2"])
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_epoch() == 1
+    mgr.close()
