@@ -1,8 +1,24 @@
 """Convert reference PyTorch checkpoints into s2tpu Orbax checkpoints.
 
+Backbone weights (pretrained encoders, loadable via train-CLI flags):
+
     python -m s2tpu.cli.convert_weights prithvi weights/Prithvi_100M.pt --out weights/prithvi_flax
     python -m s2tpu.cli.convert_weights efficientnet weights/efficientnet-b5.pth \
         --version b5 --out weights/effb5_flax
+
+Full trained reference checkpoints (Lightning ``.ckpt`` from
+train_segmentation.py, ``net.``-prefixed state dict — reference
+train_segmentation.py:247-255): ``import-ckpt`` produces a COMPLETE s2tpu
+checkpoint directory (config.json + epoch-0 Orbax state) that
+``python -m s2tpu.cli.infer`` serves directly and ``--resume-from``
+finetunes from — the one-command migration path for existing trained runs:
+
+    python -m s2tpu.cli.convert_weights import-ckpt runs/unet_b5.ckpt \
+        --model efficientnet-unet-b5 --aoi at --labels osm-multiclass \
+        --out ckpts/sentinel-segmentation/imported-b5
+    python -m s2tpu.cli.convert_weights import-ckpt runs/fc_prithvi.ckpt \
+        --model fc-prithvi-backbone --aoi at --labels osm-multiclass \
+        --out ckpts/sentinel-segmentation/imported-prithvi
 """
 
 from __future__ import annotations
@@ -49,18 +65,91 @@ def convert_efficientnet(path: str, out: str, version: str) -> None:
     logger.info(f"Converted EfficientNet-{version} weights -> {out}")
 
 
+def import_reference_checkpoint(
+    path: str, model_name: str, aoi: str, labels: str, out: str, crop: int | None = None
+) -> None:
+    """Trained reference Lightning ``.ckpt`` -> complete s2tpu checkpoint dir.
+
+    Converts the ``net.``-prefixed state dict (reference
+    train_segmentation.py:247-255 checkpoint policy) of either model family
+    into s2tpu params/batch_stats, builds the optimizer state exactly as
+    ``SegmentationTrainer._init_state`` does (so ``--resume-from`` restores
+    leaf-for-leaf into the trainer's structure), and writes an epoch-0 Orbax
+    checkpoint plus the ``config.json`` that ``cli/infer.py`` serves from.
+    """
+    import dataclasses
+
+    from s2tpu.checkpoint.convert_torch import (
+        load_reference_prithvi_seg_weights,
+        load_reference_unet_weights,
+    )
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.configs import segmentation as cfg_lib
+    from s2tpu.train.schedules import build_schedule
+    from s2tpu.train.train_state import TrainState, make_optimizer
+
+    config = cfg_lib.base_config(model_name, aoi=aoi, label_map=labels)
+    if crop:
+        config.datamodule.random_crop_size = crop
+    model = config.build_model()
+    is_prithvi = config.model_name.value.startswith("fc-prithvi")
+    size = config.datamodule.random_crop_size
+    compute_dtype = jnp.bfloat16 if config.train.compute_dtype == "bfloat16" else jnp.float32
+    sample = jnp.zeros((1, size, size, 6), compute_dtype)
+    if not config.datamodule.dataset_cfg.squeeze_time_dim:
+        sample = sample[:, None]  # (B, T=1, H, W, C) for the ViT
+
+    variables = jax.jit(
+        lambda: model.init(jax.random.key(config.train.seed), sample, train=False)
+    )()
+    template_p, template_s = variables["params"], variables.get("batch_stats", {})
+    loader = load_reference_prithvi_seg_weights if is_prithvi else load_reference_unet_weights
+    params, batch_stats = loader(template_p, template_s, path)
+
+    frozen_mask = None
+    if is_prithvi and model.config.frozen_backbone:
+        frozen_mask = jax.tree_util.tree_map_with_path(
+            lambda p, _: any(getattr(e, "key", None) == "backbone" for e in p), params
+        )
+    t = config.train
+    schedule = build_schedule(t.lr, t.lr_scheduler_type.value if t.lr_scheduler_type else None)
+    tx = make_optimizer(schedule, t.weight_decay, t.betas, frozen_mask)
+    opt_state = jax.jit(tx.init)(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats, opt_state=opt_state
+    )
+    mgr = CheckpointManager(out, config_dict=dataclasses.asdict(config))
+    mgr.save_epoch(0, state)
+    mgr.wait()
+    mgr.close()
+    logger.info(f"Imported reference checkpoint {path} -> {out} (epoch 0)")
+
+
 def main(argv: list[str] | None = None) -> None:
+    from s2tpu.configs.data_config import AOIs, LABEL_MAPS
+
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=["prithvi", "efficientnet"])
-    p.add_argument("path", help=".pt/.pth file from the reference ecosystem")
+    p.add_argument("kind", choices=["prithvi", "efficientnet", "import-ckpt"])
+    p.add_argument("path", help=".pt/.pth/.ckpt file from the reference ecosystem")
     p.add_argument("--out", required=True)
     p.add_argument("--num-frames", type=int, default=1)
     p.add_argument("--version", default="b0", help="EfficientNet version (b0-b7)")
+    # import-ckpt: the run identity the checkpoint was trained under
+    p.add_argument("--model", default=None, help="import-ckpt: reference model name")
+    p.add_argument("--aoi", default=None, choices=list(AOIs), help="import-ckpt: AOI")
+    p.add_argument("--labels", default=None, choices=list(LABEL_MAPS), help="import-ckpt: label map")
+    p.add_argument("--crop", type=int, default=None, help="import-ckpt: crop/tile size (default 224)")
     args = p.parse_args(argv)
     if args.kind == "prithvi":
         convert_prithvi(args.path, args.out, args.num_frames)
-    else:
+    elif args.kind == "efficientnet":
         convert_efficientnet(args.path, args.out, args.version)
+    else:
+        if not (args.model and args.aoi and args.labels):
+            p.error("import-ckpt requires --model, --aoi and --labels")
+        import_reference_checkpoint(
+            args.path, args.model, args.aoi, args.labels, args.out, crop=args.crop
+        )
 
 
 if __name__ == "__main__":

@@ -344,3 +344,70 @@ def test_prithvi_checkpoint_surgery_parity(ref, tmp_path, monkeypatch):
 
     np.testing.assert_allclose(j_tokens[:, :1], t_tokens[:, :1], rtol=1e-3, atol=3e-5)  # cls
     np.testing.assert_allclose(j_tokens[:, 1:], t_patches, rtol=1e-3, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# import-ckpt CLI: trained Lightning .ckpt -> servable s2tpu checkpoint dir
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+def test_import_ckpt_cli_unet(ref, tmp_path):
+    """End-to-end migration path: save a reference Lightning checkpoint
+    (``net.``-prefixed state dict — reference train_segmentation.py:247-255),
+    run ``convert_weights import-ckpt``, and serve from the produced
+    directory exactly the way ``cli/infer.py`` does (config.json -> Config,
+    Orbax restore -> apply). Requires bit-for-bit argmax parity with the
+    reference torch model."""
+    eu = ref["efficientnet_unet"]
+    from s2tpu.configs.data_config import LABEL_MAPS
+
+    k = LABEL_MAPS["osm-multiclass"].num_classes
+    torch.manual_seed(0)
+    dist = [(i + 1) / (k * (k + 1) / 2) for i in range(k)]
+    tmodel = eu.EfficientnetUnet(
+        eu.EfficientNetConfig(version="b0", num_classes=k, in_channels=6, class_distribution=dist)
+    )
+    tmodel.eval()
+    ckpt_path = tmp_path / "ref_b0.ckpt"
+    torch.save(
+        {"state_dict": {f"net.{n}": v for n, v in tmodel.state_dict().items()}}, ckpt_path
+    )
+
+    out = tmp_path / "imported"
+    from s2tpu.cli.convert_weights import main as convert_main
+
+    convert_main(
+        [
+            "import-ckpt", str(ckpt_path),
+            "--model", "efficientnet-unet-b0",
+            "--aoi", "at", "--labels", "osm-multiclass",
+            "--out", str(out),
+        ]
+    )
+
+    # Serve from the imported directory via the infer CLI's own config path.
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.cli.infer import _config_from_dict
+
+    mgr = CheckpointManager(out)
+    cfg = _config_from_dict(mgr.load_config())
+    assert cfg.model_name.value == "efficientnet-unet-b0"
+    assert cfg.num_classes == k
+    raw = mgr.restore_raw(0)
+    mgr.close()
+    assert int(raw["step"]) == 0
+    assert isinstance(raw["opt_state"], list) and len(raw["opt_state"]) > 0
+
+    model = cfg.build_model(dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 224, 224, 6)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    j_logits = np.asarray(
+        model.apply(
+            {"params": raw["params"], "batch_stats": raw["batch_stats"]},
+            jnp.asarray(x),
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-3, atol=2e-4)
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
