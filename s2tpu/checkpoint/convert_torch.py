@@ -386,3 +386,163 @@ def load_efficientnet_weights(
     stats = dict(batch_stats_template)
     stats[encoder_key] = _merge_into(batch_stats_template[encoder_key], conv_stats)
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Flax -> PyTorch export (reverse migration)
+# ---------------------------------------------------------------------------
+# The exact inverses of the ingestion mappings above: a model trained in
+# s2tpu exports to a state dict the reference's torch modules load with
+# strict=True (EfficientnetUnet, efficientnet_unet.py:106-165) or in the
+# published Prithvi_100M.pt layout (prithvi.py / utils.py:62-96), so TPU
+# training composes with an existing torch serving stack. Pure transposes —
+# round-trips are bit-exact (tests/test_reference_parity.py).
+
+
+def _np32(x) -> np.ndarray:
+    """Leaf -> float32 numpy (bf16-stored params export as f32)."""
+    a = np.asarray(x)
+    return a.astype(np.float32) if a.dtype != np.float32 else a
+
+
+def _inv_conv_hwio(kernel) -> np.ndarray:
+    return _np32(kernel).transpose(3, 2, 0, 1)  # (kh,kw,I,O) -> (O,I,kh,kw)
+
+
+def _inv_dense_to_conv1x1(kernel) -> np.ndarray:
+    return np.ascontiguousarray(_np32(kernel).T)[:, :, None, None]  # (I,O) -> (O,I,1,1)
+
+
+def _inv_convtrans(p: dict, out: dict, prefix: str) -> None:
+    k = _np32(p["kernel"])[::-1, ::-1]  # un-mirror (see _convtrans_hwio)
+    out[f"{prefix}.weight"] = np.ascontiguousarray(k.transpose(2, 3, 0, 1))  # -> (I,O,kh,kw)
+    out[f"{prefix}.bias"] = _np32(p["bias"])
+
+
+def _inv_bn(p: dict, s: dict, out: dict, prefix: str) -> None:
+    out[f"{prefix}.weight"] = _np32(p["scale"])
+    out[f"{prefix}.bias"] = _np32(p["bias"])
+    out[f"{prefix}.running_mean"] = _np32(s["mean"])
+    out[f"{prefix}.running_var"] = _np32(s["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def _inv_conv_with_bias(p: dict, out: dict, prefix: str) -> None:
+    out[f"{prefix}.weight"] = _inv_conv_hwio(p["kernel"])
+    out[f"{prefix}.bias"] = _np32(p["bias"])
+
+
+def _inv_linear(p: dict, out: dict, prefix: str) -> None:
+    out[f"{prefix}.weight"] = np.ascontiguousarray(_np32(p["kernel"]).T)
+    out[f"{prefix}.bias"] = _np32(p["bias"])
+
+
+def _inv_layernorm(p: dict, out: dict, prefix: str) -> None:
+    out[f"{prefix}.weight"] = _np32(p["scale"])
+    out[f"{prefix}.bias"] = _np32(p["bias"])
+
+
+def export_reference_unet_state_dict(params: dict, batch_stats: dict) -> dict:
+    """s2tpu EfficientNetUNet (params, batch_stats) -> reference
+    ``EfficientnetUnet.state_dict()`` naming, numpy values.
+
+    Exact inverse of convert_reference_unet_state_dict. The encoder's unused
+    ImageNet fc head has no s2tpu counterpart, so the reference loads the
+    export with ``strict=False`` (missing keys are exactly ``encoder.fc.*`` —
+    the same convention its own ImageNet ingestion uses,
+    efficientnet_unet.py:416-431).
+    """
+    enc_p, enc_s = params["encoder"], batch_stats["encoder"]
+    out: dict[str, np.ndarray] = {"encoder.stem.0.weight": _inv_conv_hwio(enc_p["stem_conv"]["kernel"])}
+    _inv_bn(enc_p["stem_bn"], enc_s["stem_bn"], out, "encoder.stem.1")
+    n_blocks = sum(1 for k in enc_p if k.startswith("block_"))
+    for i in range(n_blocks):
+        p, s, pre = enc_p[f"block_{i}"], enc_s[f"block_{i}"], f"encoder.blocks.{i}"
+        if "expand_conv" in p:
+            out[f"{pre}.stem.0.weight"] = _inv_dense_to_conv1x1(p["expand_conv"]["kernel"])
+            _inv_bn(p["expand_bn"], s["expand_bn"], out, f"{pre}.stem.1")
+            out[f"{pre}.stem.3.weight"] = _inv_conv_hwio(p["depthwise_conv"]["kernel"])
+            _inv_bn(p["depthwise_bn"], s["depthwise_bn"], out, f"{pre}.stem.4")
+        else:
+            out[f"{pre}.stem.0.weight"] = _inv_conv_hwio(p["depthwise_conv"]["kernel"])
+            _inv_bn(p["depthwise_bn"], s["depthwise_bn"], out, f"{pre}.stem.1")
+        if "se_reduce" in p:
+            for ours, theirs in (("se_reduce", 1), ("se_expand", 3)):
+                out[f"{pre}.squeeze_excitation.{theirs}.weight"] = _inv_dense_to_conv1x1(
+                    p[ours]["kernel"]
+                )
+                out[f"{pre}.squeeze_excitation.{theirs}.bias"] = _np32(p[ours]["bias"])
+        out[f"{pre}.final_layer.0.weight"] = _inv_dense_to_conv1x1(p["project_conv"]["kernel"])
+        _inv_bn(p["project_bn"], s["project_bn"], out, f"{pre}.final_layer.1")
+    out["encoder.conv_head.0.weight"] = _inv_dense_to_conv1x1(enc_p["head_conv"]["kernel"])
+    _inv_bn(enc_p["head_bn"], enc_s["head_bn"], out, "encoder.conv_head.1")
+
+    n_up = sum(1 for k in params if k.startswith("up_conv"))
+    for i in range(n_up):
+        _inv_convtrans(params[f"up_conv{i}"], out, f"up_convs.{i}")
+        p, s = params[f"double_conv{i}"], batch_stats[f"double_conv{i}"]
+        _inv_conv_with_bias(p["conv0"], out, f"double_convs.{i}.0")
+        _inv_bn(p["bn0"], s["bn0"], out, f"double_convs.{i}.1")
+        _inv_conv_with_bias(p["conv1"], out, f"double_convs.{i}.3")
+        _inv_bn(p["bn1"], s["bn1"], out, f"double_convs.{i}.4")
+    if "input_up_conv" in params:
+        _inv_convtrans(params["input_up_conv"], out, "input_up_conv")
+        p, s = params["input_double_conv"], batch_stats["input_double_conv"]
+        _inv_conv_with_bias(p["conv0"], out, "input_double_conv.0")
+        _inv_bn(p["bn0"], s["bn0"], out, "input_double_conv.1")
+        _inv_conv_with_bias(p["conv1"], out, "input_double_conv.3")
+        _inv_bn(p["bn1"], s["bn1"], out, "input_double_conv.4")
+    out["out_conv1x1.weight"] = _inv_dense_to_conv1x1(params["classifier"]["kernel"])
+    out["out_conv1x1.bias"] = _np32(params["classifier"]["bias"])
+    return out
+
+
+def _inv_block(p: dict, out: dict, prefix: str) -> None:
+    _inv_layernorm(p["norm1"], out, f"{prefix}.norm1")
+    _inv_layernorm(p["norm2"], out, f"{prefix}.norm2")
+    _inv_linear(p["attn"]["qkv"], out, f"{prefix}.attn.qkv")
+    _inv_linear(p["attn"]["proj"], out, f"{prefix}.attn.proj")
+    _inv_linear(p["mlp_fc1"], out, f"{prefix}.mlp.fc1")
+    _inv_linear(p["mlp_fc2"], out, f"{prefix}.mlp.fc2")
+
+
+def export_prithvi_state_dict(params: dict, config) -> dict:
+    """s2tpu PrithviMAE params -> the published ``Prithvi_100M.pt`` layout
+    (numpy values), so an s2tpu MAE pretraining run feeds the reference's
+    ``load_prithvi`` surgery (utils.py:62-96) or any torch HLS stack.
+
+    Exact inverse of convert_prithvi_state_dict; the fixed sincos position
+    embeddings (s2tpu stores them as constants, not params) are regenerated
+    into ``pos_embed`` / ``decoder_pos_embed`` exactly as the published
+    checkpoint carries them.
+
+    ``config`` is the PrithviConfig the params were trained under (supplies
+    tubelet/patch/in_chans for the Conv3d patch-embed reshape and the grid
+    for the sincos tables).
+    """
+    from s2tpu.models.prithvi_mae import sincos_3d
+
+    cfg = config
+    out: dict[str, np.ndarray] = {"cls_token": _np32(params["cls_token"])}
+    k = _np32(params["patch_proj"]["kernel"])  # (t*p*q*C, D)
+    d_out = k.shape[1]
+    w = k.reshape(cfg.tubelet_size, cfg.patch_size, cfg.patch_size, cfg.in_chans, d_out)
+    out["patch_embed.proj.weight"] = np.ascontiguousarray(w.transpose(4, 3, 0, 1, 2))
+    out["patch_embed.proj.bias"] = _np32(params["patch_proj"]["bias"])
+    out["pos_embed"] = sincos_3d(cfg.embed_dim, cfg.grid_size, cls_token=True)[None].astype(
+        np.float32
+    )
+    _inv_layernorm(params["encoder_norm"], out, "norm")
+    for i in range(sum(1 for key in params if key.startswith("block_"))):
+        _inv_block(params[f"block_{i}"], out, f"blocks.{i}")
+    if "decoder_embed" in params:
+        _inv_linear(params["decoder_embed"], out, "decoder_embed")
+        out["mask_token"] = _np32(params["mask_token"])
+        out["decoder_pos_embed"] = sincos_3d(
+            cfg.decoder_embed_dim, cfg.grid_size, cls_token=True
+        )[None].astype(np.float32)
+        _inv_layernorm(params["decoder_norm"], out, "decoder_norm")
+        _inv_linear(params["decoder_pred"], out, "decoder_pred")
+        for i in range(sum(1 for key in params if key.startswith("decoder_block_"))):
+            _inv_block(params[f"decoder_block_{i}"], out, f"decoder_blocks.{i}")
+    return out

@@ -19,6 +19,16 @@ finetunes from — the one-command migration path for existing trained runs:
     python -m s2tpu.cli.convert_weights import-ckpt runs/fc_prithvi.ckpt \
         --model fc-prithvi-backbone --aoi at --labels osm-multiclass \
         --out ckpts/sentinel-segmentation/imported-prithvi
+
+Reverse migration (train on TPU, serve in an existing torch stack):
+``export-unet`` writes a reference ``EfficientnetUnet``-strict state dict;
+``export-prithvi`` writes an s2tpu MAE pretraining run in the published
+``Prithvi_100M.pt`` layout (sincos pos embeds regenerated):
+
+    python -m s2tpu.cli.convert_weights export-unet ckpts/sentinel-segmentation/<run> \
+        --out exported_unet.pt
+    python -m s2tpu.cli.convert_weights export-prithvi ckpts/prithvi-mae/<run> \
+        --out exported_prithvi.pt
 """
 
 from __future__ import annotations
@@ -125,12 +135,68 @@ def import_reference_checkpoint(
     logger.info(f"Imported reference checkpoint {path} -> {out} (epoch 0)")
 
 
+def export_unet_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None) -> None:
+    """Trained s2tpu UNet checkpoint dir -> reference ``EfficientnetUnet``
+    state dict (.pt, strict-loadable) — the reverse migration path: train on
+    TPU, serve in an existing torch stack."""
+    import torch
+
+    from s2tpu.checkpoint.convert_torch import export_reference_unet_state_dict
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir)
+    cfg = mgr.load_config()
+    assert cfg is not None, f"no config.json in {ckpt_dir}"
+    assert str(cfg["model_name"]).startswith("efficientnet-unet"), (
+        f"export-unet needs an efficientnet-unet checkpoint, got {cfg['model_name']}"
+    )
+    raw = mgr.restore_raw(epoch)
+    mgr.close()
+    sd = export_reference_unet_state_dict(raw["params"], raw["batch_stats"])
+    torch.save({k: torch.from_numpy(np_v) for k, np_v in sd.items()}, out)
+    logger.info(f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, reference UNet layout)")
+
+
+def export_prithvi_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None) -> None:
+    """s2tpu MAE pretraining checkpoint dir -> ``Prithvi_100M.pt``-layout
+    state dict, so a TPU pretrain feeds the reference's load_prithvi surgery
+    (reference utils.py:62-96) or any torch HLS stack."""
+    import torch
+
+    from s2tpu.checkpoint.convert_torch import export_prithvi_state_dict
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.configs import mae as mae_cfg
+    from s2tpu.models.prithvi_mae import PrithviConfig
+
+    mgr = CheckpointManager(ckpt_dir)
+    cfg_dict = mgr.load_config()
+    assert cfg_dict is not None, f"no config.json in {ckpt_dir}"
+    config = mae_cfg.config_from_dict(cfg_dict)
+    model_config = PrithviConfig.from_model_args(
+        load_prithvi_model_args(),
+        num_frames=config.model.num_frames,
+        img_size=config.datamodule.random_crop_size,
+    )
+    raw = mgr.restore_raw(epoch)
+    mgr.close()
+    sd = export_prithvi_state_dict(raw["params"], model_config)
+    torch.save({k: torch.from_numpy(np_v) for k, np_v in sd.items()}, out)
+    logger.info(f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, Prithvi_100M layout)")
+
+
 def main(argv: list[str] | None = None) -> None:
     from s2tpu.configs.data_config import AOIs, LABEL_MAPS
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=["prithvi", "efficientnet", "import-ckpt"])
-    p.add_argument("path", help=".pt/.pth/.ckpt file from the reference ecosystem")
+    p.add_argument(
+        "kind",
+        choices=["prithvi", "efficientnet", "import-ckpt", "export-unet", "export-prithvi"],
+    )
+    p.add_argument(
+        "path",
+        help=".pt/.pth/.ckpt file from the reference ecosystem (import), or an "
+        "s2tpu checkpoint directory (export-*)",
+    )
     p.add_argument("--out", required=True)
     p.add_argument("--num-frames", type=int, default=1)
     p.add_argument("--version", default="b0", help="EfficientNet version (b0-b7)")
@@ -139,11 +205,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--aoi", default=None, choices=list(AOIs), help="import-ckpt: AOI")
     p.add_argument("--labels", default=None, choices=list(LABEL_MAPS), help="import-ckpt: label map")
     p.add_argument("--crop", type=int, default=None, help="import-ckpt: crop/tile size (default 224)")
+    p.add_argument("--epoch", type=int, default=None, help="export-*: checkpoint epoch (default latest)")
     args = p.parse_args(argv)
     if args.kind == "prithvi":
         convert_prithvi(args.path, args.out, args.num_frames)
     elif args.kind == "efficientnet":
         convert_efficientnet(args.path, args.out, args.version)
+    elif args.kind == "export-unet":
+        export_unet_checkpoint(args.path, args.out, epoch=args.epoch)
+    elif args.kind == "export-prithvi":
+        export_prithvi_checkpoint(args.path, args.out, epoch=args.epoch)
     else:
         if not (args.model and args.aoi and args.labels):
             p.error("import-ckpt requires --model, --aoi and --labels")
