@@ -506,6 +506,25 @@ def _inv_block(p: dict, out: dict, prefix: str) -> None:
     _inv_linear(p["mlp_fc2"], out, f"{prefix}.mlp.fc2")
 
 
+def _export_prithvi_encoder(params: dict, cfg, out: dict, prefix: str = "") -> None:
+    """Encoder-side inverse (cls/patch-embed/pos/norm/blocks) shared by the
+    MAE and segmentation-net exports; ``prefix`` is '' or 'backbone.'."""
+    from s2tpu.models.prithvi_mae import sincos_3d
+
+    out[f"{prefix}cls_token"] = _np32(params["cls_token"])
+    k = _np32(params["patch_proj"]["kernel"])  # (t*p*q*C, D)
+    d_out = k.shape[1]
+    w = k.reshape(cfg.tubelet_size, cfg.patch_size, cfg.patch_size, cfg.in_chans, d_out)
+    out[f"{prefix}patch_embed.proj.weight"] = np.ascontiguousarray(w.transpose(4, 3, 0, 1, 2))
+    out[f"{prefix}patch_embed.proj.bias"] = _np32(params["patch_proj"]["bias"])
+    out[f"{prefix}pos_embed"] = sincos_3d(cfg.embed_dim, cfg.grid_size, cls_token=True)[
+        None
+    ].astype(np.float32)
+    _inv_layernorm(params["encoder_norm"], out, f"{prefix}norm")
+    for i in range(sum(1 for key in params if key.startswith("block_"))):
+        _inv_block(params[f"block_{i}"], out, f"{prefix}blocks.{i}")
+
+
 def export_prithvi_state_dict(params: dict, config) -> dict:
     """s2tpu PrithviMAE params -> the published ``Prithvi_100M.pt`` layout
     (numpy values), so an s2tpu MAE pretraining run feeds the reference's
@@ -523,18 +542,8 @@ def export_prithvi_state_dict(params: dict, config) -> dict:
     from s2tpu.models.prithvi_mae import sincos_3d
 
     cfg = config
-    out: dict[str, np.ndarray] = {"cls_token": _np32(params["cls_token"])}
-    k = _np32(params["patch_proj"]["kernel"])  # (t*p*q*C, D)
-    d_out = k.shape[1]
-    w = k.reshape(cfg.tubelet_size, cfg.patch_size, cfg.patch_size, cfg.in_chans, d_out)
-    out["patch_embed.proj.weight"] = np.ascontiguousarray(w.transpose(4, 3, 0, 1, 2))
-    out["patch_embed.proj.bias"] = _np32(params["patch_proj"]["bias"])
-    out["pos_embed"] = sincos_3d(cfg.embed_dim, cfg.grid_size, cls_token=True)[None].astype(
-        np.float32
-    )
-    _inv_layernorm(params["encoder_norm"], out, "norm")
-    for i in range(sum(1 for key in params if key.startswith("block_"))):
-        _inv_block(params[f"block_{i}"], out, f"blocks.{i}")
+    out: dict[str, np.ndarray] = {}
+    _export_prithvi_encoder(params, cfg, out, prefix="")
     if "decoder_embed" in params:
         _inv_linear(params["decoder_embed"], out, "decoder_embed")
         out["mask_token"] = _np32(params["mask_token"])
@@ -545,4 +554,32 @@ def export_prithvi_state_dict(params: dict, config) -> dict:
         _inv_linear(params["decoder_pred"], out, "decoder_pred")
         for i in range(sum(1 for key in params if key.startswith("decoder_block_"))):
             _inv_block(params[f"decoder_block_{i}"], out, f"decoder_blocks.{i}")
+    return out
+
+
+def export_reference_prithvi_seg_state_dict(
+    params: dict, batch_stats: dict, backbone_config
+) -> dict:
+    """s2tpu PrithviSegmentationNet (params, batch_stats) -> reference
+    ``PrithviSegmentationNet.state_dict()`` naming (numpy values), the exact
+    inverse of convert_reference_prithvi_seg_state_dict.
+
+    The reference builds its backbone via ``load_prithvi`` (no_decoder=True,
+    utils.py:62-96), so the target state dict is encoder-only with the
+    surgery-regenerated ``backbone.pos_embed`` — regenerated here from the
+    same sincos tables (``backbone_config`` is the s2tpu PrithviConfig:
+    grid/tubelet/patch/in_chans).
+    """
+    out: dict[str, np.ndarray] = {}
+    _export_prithvi_encoder(params["backbone"], backbone_config, out, prefix="backbone.")
+    for ours, theirs in (("up0", 0), ("up1", 3), ("up2", 4), ("up3", 7)):
+        _inv_convtrans(params["neck"][ours], out, f"neck.feature_pyramid_net.{theirs}")
+    for ours, theirs in (("ln0", 1), ("ln1", 5)):
+        _inv_layernorm(params["neck"][ours], out, f"neck.feature_pyramid_net.{theirs}.ln")
+    head, head_stats = params["head"], batch_stats["head"]
+    n_convs = sum(1 for k in head if k.startswith("conv"))
+    for i in range(n_convs):
+        _inv_conv_with_bias(head[f"conv{i}"], out, f"head.net.{3 * i}")
+        _inv_bn(head[f"bn{i}"], head_stats[f"bn{i}"], out, f"head.net.{3 * i + 1}")
+    _inv_conv_with_bias(head["classifier"], out, f"head.net.{3 * n_convs + 1}")
     return out

@@ -29,6 +29,8 @@ Reverse migration (train on TPU, serve in an existing torch stack):
         --out exported_unet.pt
     python -m s2tpu.cli.convert_weights export-prithvi ckpts/prithvi-mae/<run> \
         --out exported_prithvi.pt
+    python -m s2tpu.cli.convert_weights export-prithvi-seg ckpts/sentinel-segmentation/<run> \
+        --out exported_seg.pt
 """
 
 from __future__ import annotations
@@ -184,13 +186,42 @@ def export_prithvi_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None)
     logger.info(f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, Prithvi_100M layout)")
 
 
+def export_prithvi_seg_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None) -> None:
+    """Trained s2tpu fc-prithvi segmentation checkpoint dir -> reference
+    ``PrithviSegmentationNet.state_dict()`` naming (.pt) — backbone pos
+    embeds regenerated from the same sincos tables the reference surgery
+    uses."""
+    import torch
+
+    from s2tpu.checkpoint.convert_torch import export_reference_prithvi_seg_state_dict
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.cli.infer import _config_from_dict
+
+    mgr = CheckpointManager(ckpt_dir)
+    cfg_dict = mgr.load_config()
+    assert cfg_dict is not None, f"no config.json in {ckpt_dir}"
+    config = _config_from_dict(cfg_dict)
+    assert config.model_name.value.startswith("fc-prithvi"), (
+        f"export-prithvi-seg needs an fc-prithvi checkpoint, got {config.model_name.value}"
+    )
+    backbone_cfg = config.build_model().config.backbone
+    raw = mgr.restore_raw(epoch)
+    mgr.close()
+    sd = export_reference_prithvi_seg_state_dict(raw["params"], raw["batch_stats"], backbone_cfg)
+    torch.save({k: torch.from_numpy(np_v) for k, np_v in sd.items()}, out)
+    logger.info(f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, reference seg-net layout)")
+
+
 def main(argv: list[str] | None = None) -> None:
     from s2tpu.configs.data_config import AOIs, LABEL_MAPS
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "kind",
-        choices=["prithvi", "efficientnet", "import-ckpt", "export-unet", "export-prithvi"],
+        choices=[
+            "prithvi", "efficientnet", "import-ckpt",
+            "export-unet", "export-prithvi", "export-prithvi-seg",
+        ],
     )
     p.add_argument(
         "path",
@@ -215,6 +246,8 @@ def main(argv: list[str] | None = None) -> None:
         export_unet_checkpoint(args.path, args.out, epoch=args.epoch)
     elif args.kind == "export-prithvi":
         export_prithvi_checkpoint(args.path, args.out, epoch=args.epoch)
+    elif args.kind == "export-prithvi-seg":
+        export_prithvi_seg_checkpoint(args.path, args.out, epoch=args.epoch)
     else:
         if not (args.model and args.aoi and args.labels):
             p.error("import-ckpt requires --model, --aoi and --labels")

@@ -472,3 +472,53 @@ def test_export_prithvi_roundtrip(ref):
         else:
             np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)
     tmodel.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in back.items()}, strict=True)
+
+
+def test_export_prithvi_seg_roundtrip(ref, monkeypatch):
+    """torch -> s2tpu -> torch for the full segmentation net (tiny dims):
+    learned tensors round-trip bit-exact; regenerated backbone pos embeds
+    match; the export loads back with only decoder-side keys missing (the
+    reference's own load_prithvi surgery deletes the decoder)."""
+    pr = ref["prithvi"]
+    ps = ref["prithvi_segmentation"]
+    args = _tiny_args()
+    torch.manual_seed(5)
+    tiny_backbone = pr.MaskedAutoencoderViT(**args)
+    monkeypatch.setattr(ps, "load_prithvi", lambda num_frames: tiny_backbone)
+    tcfg = ps.PrithviSegmentationNetConfig(
+        num_frames=1, num_classes=4, fcn_out_channels=32, fcn_num_convs=2,
+        fcn_dropout=0.1, frozen_backbone=True, embed_dim=args["embed_dim"],
+        patch_height=2, patch_width=2,
+    )
+    tnet = ps.PrithviSegmentationNet(tcfg)
+    sd = tnet.state_dict()
+
+    from s2tpu.checkpoint.convert_torch import export_reference_prithvi_seg_state_dict
+    from s2tpu.models.prithvi_mae import PrithviConfig
+
+    params, stats = convert_reference_prithvi_seg_state_dict(sd)
+    back = export_reference_prithvi_seg_state_dict(
+        params, stats, PrithviConfig.from_model_args(args)
+    )
+
+    # decoder-side backbone keys are the only ones absent (dropped by the
+    # forward converter; the real reference backbone has no decoder at all)
+    missing = set(sd.keys()) - set(back)
+    assert all(
+        k.startswith(("backbone.decoder_", "backbone.mask_token")) for k in missing
+    ), missing
+    assert set(back) - set(sd.keys()) == set()
+    for k, v in back.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k == "backbone.pos_embed":
+            np.testing.assert_allclose(v, sd[k].numpy(), atol=1e-6, err_msg=k)
+        else:
+            np.testing.assert_array_equal(v, sd[k].numpy(), err_msg=k)
+    res = tnet.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in back.items()}, strict=False
+    )
+    assert res.unexpected_keys == []
+    assert all(
+        k.startswith(("backbone.decoder_", "backbone.mask_token")) for k in res.missing_keys
+    )
