@@ -172,6 +172,13 @@ class CheckpointManager:
         if epoch is None:
             epoch = self._manager.latest_step()
         assert epoch is not None, "no checkpoint to restore"
+        # A garbage-collected step makes Orbax raise a misleading
+        # "Composite args" error — fail with the real cause instead.
+        steps = list(self._manager.all_steps())
+        assert epoch in steps, (
+            f"epoch {epoch} not present in {self.directory} (available: {steps}); "
+            "older epochs are retained per ckpt_keep / best-val policy"
+        )
         return self._manager.restore(epoch, args=ocp.args.StandardRestore())
 
     def close(self) -> None:

@@ -585,6 +585,21 @@ class SegmentationTrainer:
             variables["batch_stats"] = state.batch_stats
         return self.model.apply(variables, x, train=False)
 
+    def _host_local_predict(self, images):
+        """Predict on THIS process's devices only, outside the global SPMD
+        program — for per-host work like epoch image rendering under
+        multi-host (the replicated state is fully addressable locally)."""
+        if getattr(self, "_local_predict_jit", None) is None:
+            self._local_predict_jit = jax.jit(
+                lambda p, bs, x: self._predict(
+                    TrainState(step=jnp.zeros((), jnp.int32), params=p, batch_stats=bs, opt_state=()),
+                    x,
+                )
+            )
+        params = jax.device_get(self.state.params)
+        stats = jax.device_get(self.state.batch_stats)
+        return self._local_predict_jit(params, stats, images)
+
     # ------------------------------------------------------------------
     def _data_sharding(self):
         return mesh_lib.data_sharding(self.mesh)
@@ -1016,7 +1031,23 @@ class SegmentationTrainer:
         sample 0 ("fixed prediction dynamics"), rendered via s2tpu.plotting.
         """
         if jax.process_count() > 1:
-            return  # per-host image logging would mix local inputs with global params
+            # Process 0 renders the images from its own local sample. The
+            # global predict_step would deadlock on a host-local input
+            # (every process must participate in an SPMD program), so this
+            # runs a process-LOCAL predict on the replicated state; under
+            # multi-host FSDP the weights are sharded across hosts and not
+            # locally reconstructible — that case stays skipped.
+            if jax.process_index() != 0:
+                return
+            leaves = jax.tree_util.tree_leaves((self.state.params, self.state.batch_stats))
+            if not all(l.sharding.is_fully_replicated for l in leaves):
+                logger.info(
+                    "epoch image logging skipped: params sharded across hosts (FSDP)"
+                )
+                return
+            predict = self._host_local_predict
+        else:
+            predict = lambda imgs: self.predict_step(self.state, imgs)  # noqa: E731
         import matplotlib.pyplot as plt
 
         from s2tpu.configs.data_config import LABEL_MAPS
@@ -1043,7 +1074,7 @@ class SegmentationTrainer:
                 x0 = (sample.x.shape[1] - crop) // 2
                 img = sample.x[y0 : y0 + crop, x0 : x0 + crop]
                 lbl = sample.y[y0 : y0 + crop, x0 : x0 + crop]
-                logits = self.predict_step(self.state, jnp.asarray(img)[None])
+                logits = predict(jnp.asarray(img)[None])
                 pred = np.asarray(jnp.argmax(logits[0], axis=-1))
                 rgb = stretch_rgb(img.transpose(2, 0, 1))
                 fig = plot_sentinel_and_mask(rgb, lbl, lm, pred=pred)

@@ -182,7 +182,22 @@ else:
     dm = Datamodule(config.datamodule)
     assert dm.n_proc == n_proc and dm.proc == pid
 
-    trainer = SegmentationTrainer(config, dm, mesh=mesh)
+    # S2TPU_IMG_LOG: attach a RunLogger so the epoch image path runs —
+    # process 0 must render overlays via its process-LOCAL predict, the
+    # others must skip (no SPMD deadlock, no duplicate files).
+    img_log = os.environ.get("S2TPU_IMG_LOG")
+    run_logger = None
+    if img_log:
+        from pathlib import Path  # noqa: E402
+
+        from s2tpu.train.logging_utils import RunLogger  # noqa: E402
+
+        run_logger = RunLogger(
+            run_name=f"img_p{pid}", log_dir=Path(img_log), project="mh-test",
+            entity=None, tags=[], config={}, use_wandb=False,
+        )
+
+    trainer = SegmentationTrainer(config, dm, mesh=mesh, run_logger=run_logger)
     history = trainer.fit(epochs=1)
     rec = history[0]
     result = {
@@ -191,6 +206,11 @@ else:
         "val_loss": rec.get("val/loss"),
         "val_iou": rec.get("val/iou"),
     }
+    if img_log:
+        from pathlib import Path  # noqa: E402
+
+        result["n_images"] = len(list((Path(img_log) / f"img_p{pid}").glob("*.png")))
+        run_logger.finish()
     if mode in ("bnrecal_corpus", "bnrecal_stream"):
         # Fingerprint the pooled BN statistics: all processes must hold the
         # exact same recalibrated stats (replicated).

@@ -248,3 +248,17 @@ def test_two_process_tiled_serving(fixture_dir, tmp_path):
     assert p0 and p1, "both serving processes must write prefixed batch logits"
     mh_rows = sum(np.load(f).shape[0] for f in [*p0, *p1])
     assert mh_rows == ref_rows == 3  # val split of 6 segments
+
+
+@pytest.mark.slow
+def test_two_process_epoch_image_logging(mh_fixture, tmp_path):
+    """Epoch image logging under multi-host (the r2 skip is gone): process 0
+    renders the confusion matrix + two prediction overlays through its
+    process-LOCAL predict (replicated state is fully addressable locally);
+    the other processes skip — no SPMD deadlock, no duplicate files."""
+    results = _run_workers(
+        mh_fixture, n_proc=2, mode="pipeline", extra_env={"S2TPU_IMG_LOG": str(tmp_path)}
+    )
+    _assert_agree(results)
+    assert results[0]["n_images"] == 3, results[0]  # conf matrix + 2 overlays
+    assert results[1]["n_images"] == 0, results[1]
