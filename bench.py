@@ -126,7 +126,12 @@ def main() -> None:
                 *draw_window(), trainer.base_rng,
             )
             lower = lambda: trainer.train_step_indexed_multi.lower(*lower_args)  # noqa: E731
-            flops_div = K
+            # XLA's cost model counts a lax.scan body ONCE (not x trip
+            # count), so the K-fused program's reported flops already equal
+            # one optimizer step's (verified: corpus-mode MFU matched the
+            # streamed single-step MFU exactly at div=1, and was 10x low at
+            # div=K).
+            flops_div = 1
         except Exception as e:  # noqa: BLE001 — never zero out the bench record
             print(f"bench: corpus mode failed ({type(e).__name__}: {e}); "
                   "falling back to streamed", file=sys.stderr)

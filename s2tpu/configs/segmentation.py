@@ -94,6 +94,10 @@ class TrainConfig:
     # so small Adam deltas are never rounded away. "float32" = plain storage.
     param_dtype: str = "float32"
     remat: bool = False  # jax.checkpoint the encoder to trade FLOPs for HBM
+    # UNet-only: run the early encoder blocks on the c-major space-to-depth
+    # layout (see EfficientNetUNetConfig.packed_early_blocks for variants:
+    # False / "grouped" / "dense"). Layout-only — same params/checkpoints.
+    packed_early_blocks: bool | str = False
     donate_state: bool = True  # donate train-state buffers to the jit'd step
     # Upload the packed corpus to HBM once and crop on device — per step the
     # host sends only index/offset vectors (see s2tpu/data/device_corpus.py).
@@ -209,6 +213,7 @@ class Config:
                     in_channels=6,
                     num_classes=self.num_classes,
                     class_distribution=self.train.class_distribution,
+                    packed_early_blocks=self.train.packed_early_blocks,
                 ),
                 dtype=dtype,
             )

@@ -128,9 +128,17 @@ class EfficientNetUNetConfig:
     # at trace time. Disable for exact op-order parity with the reference.
     packed_input_stage: bool = True
     # Run the early encoder blocks (stride-1, expand_ratio=1 — the narrow
-    # 112^2 stage) on the c-major space-to-depth layout: grouped packed
-    # depthwise, phase-tiled 1x1 project, PackedBN. Same tree/semantics.
-    packed_early_blocks: bool = False
+    # 112^2 stage) on the c-major space-to-depth layout. Same
+    # tree/semantics as the dense path. Variants:
+    #   False     — dense layout (channels pad to 128 TPU lanes).
+    #   "grouped" (or True) — feature_group_count=C packed depthwise +
+    #               phase-tiled 1x1 project + PackedBN. Measured r2: XLA
+    #               lowers tiny 4-in/4-out grouped convs poorly (449.6 vs
+    #               513.9 img/s on B5) — kept as the documented experiment.
+    #   "dense"   — depthwise as a full-width 4Cx4C structural-zero conv
+    #               (_packed_dw_dense_kernel): MXU matmul structure, C x
+    #               FLOP tax that is trivial at C in {24, 48}.
+    packed_early_blocks: bool | str = False
 
     def __post_init__(self) -> None:
         if self.version not in SCALING:
@@ -228,6 +236,43 @@ def _packed_dw_kernel(w: jax.Array) -> jax.Array:
     return out
 
 
+def _packed_dw_dense_kernel(w: jax.Array) -> jax.Array:
+    """Depthwise kernel (3, 3, 1, C) -> DENSE packed kernel (3, 3, 4C, 4C)
+    over the c-major layout (stride-1 SAME), channel-diagonal with
+    structural zeros across channels.
+
+    Same phase-alignment rule as :func:`_packed_dw_kernel`, but expressed as
+    a full-width conv instead of feature_group_count=C: XLA lowers tiny
+    4-in/4-out grouped convs poorly (the r2 packed-early-blocks rejection,
+    PERF_NOTES), while a dense 4Cx4C conv keeps full MXU matmul structure.
+    The structural-zero FLOP tax is C x the depthwise FLOPs - trivial next
+    to the memory-padding savings at C in {24, 48} (24 pads to 128 lanes
+    dense; 96 pads to 128 packed)."""
+    kh = w.shape[0]
+    assert kh == 3, "packed depthwise supports k=3 (the e=1 stages)"
+    c = w.shape[3]
+    eye = jnp.eye(c, dtype=w.dtype)
+    out = jnp.zeros((3, 3, 4 * c, 4 * c), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for alpha in range(2):
+                for beta in range(2):
+                    for dY in (-1, 0, 1):
+                        dy = 2 * dY + alpha - a
+                        if dy not in (-1, 0, 1):
+                            continue
+                        for dX in (-1, 0, 1):
+                            dx = 2 * dX + beta - b
+                            if dx not in (-1, 0, 1):
+                                continue
+                            p_in = alpha * 2 + beta
+                            p_out = a * 2 + b
+                            out = out.at[dY + 1, dX + 1, p_in::4, p_out::4].set(
+                                eye * w[dy + 1, dx + 1, 0, :]
+                            )
+    return out
+
+
 def _phase_tiled_1x1_kernel(w: jax.Array) -> jax.Array:
     """Dense (Cin, Cout) channel-dot kernel -> (1, 1, 4Cin, 4Cout) c-major
     phase-diagonal conv kernel (each phase gets the same weights)."""
@@ -295,22 +340,27 @@ class DepthwiseConv(nn.Module):
     dtype: typing.Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, packed: bool | str = False) -> jax.Array:
         from s2tpu.ops.depthwise_conv import depthwise_conv2d
 
         if packed:
-            # c-major space-to-depth layout: grouped conv, one group per
-            # source channel (4 phase channels in/out per group).
+            # c-major space-to-depth layout. Two expressions of the same
+            # math: "grouped" (feature_group_count=C, one 4-phase group per
+            # source channel) and "dense" (full-width 4Cx4C kernel with
+            # structural zeros - keeps MXU matmul structure; see
+            # _packed_dw_dense_kernel).
             assert self.stride == 1
             c = x.shape[-1] // 4
             kernel = self.param("kernel", conv_init, (self.kernel_size, self.kernel_size, 1, c), jnp.float32)
+            dense = packed == "dense"
+            builder = _packed_dw_dense_kernel if dense else _packed_dw_kernel
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
-                _packed_dw_kernel(kernel.astype(self.dtype)),
+                builder(kernel.astype(self.dtype)),
                 (1, 1),
                 "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=c,
+                feature_group_count=1 if dense else c,
             )
         k, c = self.kernel_size, x.shape[-1]
         kernel = self.param("kernel", conv_init, (k, k, 1, c), jnp.float32)
@@ -329,9 +379,9 @@ class MBConv(nn.Module):
     dtype: typing.Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool, packed: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool, packed: bool | str = False) -> jax.Array:
         if packed:
-            return self._packed(x, train)
+            return self._packed(x, train, variant=packed if isinstance(packed, str) else "grouped")
         s = self.spec
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train,
@@ -372,7 +422,7 @@ class MBConv(nn.Module):
             x = x + identity
         return x
 
-    def _packed(self, x: jax.Array, train: bool) -> jax.Array:
+    def _packed(self, x: jax.Array, train: bool, variant: str = "grouped") -> jax.Array:
         """Block evaluated on the c-major space-to-depth layout (e=1, s=1
         stages only: depthwise + SE + project, no expand). Identical
         parameter/stats tree to the dense branch."""
@@ -382,7 +432,7 @@ class MBConv(nn.Module):
         identity = x
         x = DepthwiseConv(
             kernel_size=s.kernel_size, stride=1, dtype=self.dtype, name="depthwise_conv"
-        )(x, packed=True)
+        )(x, packed=variant)
         x = nn.silu(PackedBN(
             c, momentum=self.bn_momentum, epsilon=self.bn_epsilon, dtype=self.dtype,
             name="depthwise_bn",
@@ -517,12 +567,13 @@ class EfficientNetEncoder(nn.Module):
         # Early narrow blocks on the c-major packed layout (see
         # packed_early_blocks). Pack once after the stem; unpack before the
         # first block that strides or expands.
-        blocks_packed = False
+        blocks_packed: bool | str = False
         if self.config.packed_early_blocks and self._specs and (
             self._specs[0].stride == 1 and self._specs[0].expand_ratio == 1
         ):
             x = _pack_cmajor(x)
-            blocks_packed = True
+            pe = self.config.packed_early_blocks
+            blocks_packed = pe if isinstance(pe, str) else "grouped"
         for i, (block, spec) in enumerate(zip(self.blocks, self._specs)):
             if blocks_packed and not (spec.stride == 1 and spec.expand_ratio == 1):
                 x = _unpack_cmajor(x, self._specs[i - 1].out_filters)

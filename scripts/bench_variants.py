@@ -33,11 +33,16 @@ class SyntheticSource:
 
 
 def run(batch, steps=20, version="b5"):
+    import os
+
     config = cfg_lib.base_config(f"efficientnet-unet-{version}", aoi="at", label_map="osm-multiclass")
     config.datamodule.batch_size = batch
     config.datamodule.random_crop_size = 224
     config.datamodule.data_split = (1.0, 0.0, 0.0)
     config.train.compute_dtype = "bfloat16"
+    peb = os.environ.get("PACKED_EARLY", "")
+    if peb:  # "grouped" | "dense" | "" (off)
+        config.train.packed_early_blocks = peb
     dm = Datamodule(config.datamodule, source=SyntheticSource())
     dm.set_mean_std(np.full(6, 1500.0, np.float32), np.full(6, 900.0, np.float32))
     trainer = SegmentationTrainer(config, dm, mesh=mesh_lib.make_mesh(1))

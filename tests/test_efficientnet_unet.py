@@ -177,9 +177,11 @@ def test_packed_input_stage_matches_dense():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=jtu.keystr(k))
 
 
-def test_packed_early_blocks_match_dense():
-    """c-major packed early blocks (flag-gated, documented perf experiment)
-    must be numerically identical to the dense path."""
+@pytest.mark.parametrize("variant", [True, "dense"])
+def test_packed_early_blocks_match_dense(variant):
+    """c-major packed early blocks (flag-gated perf experiments — both the
+    grouped-conv and the dense structural-zero depthwise expressions) must
+    be numerically identical to the dense-layout path."""
     import dataclasses
 
     import jax.tree_util as jtu
@@ -187,7 +189,7 @@ def test_packed_early_blocks_match_dense():
     from s2tpu.models.efficientnet_unet import EfficientNetUNet, EfficientNetUNetConfig
 
     cfg_d = EfficientNetUNetConfig(version="b0", in_channels=6, num_classes=4, packed_early_blocks=False)
-    cfg_p = dataclasses.replace(cfg_d, packed_early_blocks=True)
+    cfg_p = dataclasses.replace(cfg_d, packed_early_blocks=variant)
     md, mp = EfficientNetUNet(cfg_d), EfficientNetUNet(cfg_p)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 6)).astype(np.float32))
     vd = jax.jit(lambda: md.init(jax.random.key(0), jnp.zeros((1, 64, 64, 6)), train=False))()
