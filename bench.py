@@ -78,6 +78,12 @@ def main() -> None:
     config.datamodule.random_crop_size = CROP
     config.datamodule.data_split = (1.0, 0.0, 0.0)
     config.train.compute_dtype = "bfloat16"
+    # Layout-only (numerically exact, same checkpoints): the e=1 encoder
+    # blocks on the c-major space-to-depth layout with the dense
+    # structural-zero depthwise kernel — measured +3.6% on the v5e
+    # (PERF_NOTES r3). BENCH_PACKED_EARLY=0|grouped|dense overrides.
+    pe = os.environ.get("BENCH_PACKED_EARLY", "dense")
+    config.train.packed_early_blocks = False if pe in ("0", "false", "") else pe
 
     source = SyntheticSource()
     dm = Datamodule(config.datamodule, source=source)
