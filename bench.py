@@ -5,23 +5,35 @@ batch 32, bf16 — the full jit'd train step (on-device augmentation, forward,
 loss, backward, Adam update, confusion-matrix metrics) with donated state,
 i.e. exactly what one chip executes per step in production training.
 
-Two measurement modes (BENCH_MODE env):
-  * ``corpus`` (default) — the production fast path: the dataset lives in
-    HBM (``--device-corpus``) and ``--steps-per-dispatch K`` fuses K full
-    optimizer steps into ONE XLA program (lax.scan over the donated state),
-    so the host ships only (K, B) int32 index/offset vectors per dispatch.
-    This is what a real training run uses; it also amortizes this box's
-    axon-relay dispatch latency (~3.8 ms/step wall-device gap, PERF_NOTES),
-    which a normal TPU-VM host overlaps anyway.
+BOTH measurement modes run every round (VERDICT r3 #2 — a mode change must
+never masquerade as a perf change) and land in ONE combined record:
+  * ``corpus`` — the production fast path AND the headline ``value``: the
+    dataset lives in HBM (``--device-corpus``) and ``--steps-per-dispatch K``
+    fuses K full optimizer steps into ONE XLA program (lax.scan over the
+    donated state), so the host ships only (K, B) int32 index/offset vectors
+    per dispatch. This is what a real training run uses; it also amortizes
+    this box's axon-relay dispatch latency (~3.8 ms/step wall-device gap,
+    PERF_NOTES), which a normal TPU-VM host overlaps anyway.
   * ``streamed`` — the r1/r2 measurement: one dispatch per optimizer step
-    with the batch already on device (isolates the single-step program).
+    with the batch already on device (isolates the single-step program);
+    reported under ``"streamed"`` / ``"streamed_mfu"``.
+BENCH_MODE=corpus|streamed restricts the run to one mode (debugging only).
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 compares against a conservative estimate of the reference PyTorch stack
 (torch.compile max-autotune, bf16, channels_last) on one A100-80GB for the
 same model/shape: ~230 images/sec. BASELINE.json's target is >=4x that.
 
-Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+packed_early_blocks defaults OFF here, matching the shipped training config
+default (ADVICE r3): the r4 2x2 measurement found the 'dense' variant LOSES
+in both modes on current XLA (corpus 432.8 vs 509.6 off; streamed 428.3 vs
+459.4 off — PERF_NOTES r4), reversing the r3 +3.6% streamed gain. r3's
+apparent corpus regression (431.66) was entirely this bench default, not
+corpus-gather overhead: the isolated gather measures ~0.16 ms/step
+(scripts/bench_gather.py), at its memory bound.
+
+Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline",
+"mfu", "mode", "streamed"(img/s), "streamed_mfu"}.
 """
 
 from __future__ import annotations
@@ -32,7 +44,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 import s2tpu  # noqa: F401 — re-applies an explicit JAX_PLATFORMS env request
@@ -45,18 +56,130 @@ REF_A100_IMG_PER_SEC = 230.0  # estimated reference throughput (see docstring)
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 CROP = int(os.environ.get("BENCH_CROP", "224"))
 MODEL = os.environ.get("BENCH_MODEL", "efficientnet-unet-b5")
-MODE = os.environ.get("BENCH_MODE", "corpus")
+MODE = os.environ.get("BENCH_MODE", "both")
 K = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))  # corpus mode
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "4"))  # timed fused windows
 STEPS = 20  # streamed mode
 WARMUP = 3
+PEAK_BF16 = 197e12  # TPU v5e bf16 peak FLOP/s
+
+_PACKED_EARLY_VALUES = {
+    "0": False, "false": False, "off": False, "": False,
+    "grouped": "grouped", "dense": "dense",
+}
+
+
+def _packed_early() -> bool | str:
+    raw = os.environ.get("BENCH_PACKED_EARLY", "off").lower()
+    if raw not in _PACKED_EARLY_VALUES:
+        raise SystemExit(
+            f"bad BENCH_PACKED_EARLY={raw!r}: use one of {sorted(_PACKED_EARLY_VALUES)}"
+        )
+    return _PACKED_EARLY_VALUES[raw]
+
+
+def _mfu(lower, n_steps: int, elapsed: float) -> float | None:
+    """MFU from XLA's own cost model (flops of the whole train-step program).
+
+    XLA counts a lax.scan body ONCE (not x trip count), so the K-fused corpus
+    program's reported flops already equal one optimizer step's (verified:
+    corpus-mode MFU matched the streamed single-step MFU exactly at div=1,
+    and was 10x low at div=K).
+    """
+    try:
+        cost = lower().compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_per_step = float(cost.get("flops", 0.0))
+        if flops_per_step > 0:
+            return flops_per_step * (n_steps / elapsed) / PEAK_BF16
+    except Exception:  # noqa: BLE001 — MFU is informational only
+        pass
+    return None
+
+
+def _make_config(cfg_lib):
+    config = cfg_lib.base_config(MODEL, aoi="at", label_map="osm-multiclass")
+    config.datamodule.batch_size = BATCH
+    config.datamodule.random_crop_size = CROP
+    config.datamodule.data_split = (1.0, 0.0, 0.0)
+    config.train.compute_dtype = "bfloat16"
+    config.train.packed_early_blocks = _packed_early()
+    return config
+
+
+def run_corpus(cfg_lib, dm, mesh, rng) -> tuple[float, float | None]:
+    from s2tpu.train.trainer import SegmentationTrainer
+
+    config = _make_config(cfg_lib)
+    config.train.device_corpus = True
+    config.train.steps_per_dispatch = K
+    trainer = SegmentationTrainer(config, dm, mesh=mesh)
+    state = trainer.state
+    hw = dm.source.images.shape[1]
+
+    def draw_window():
+        idx = rng.integers(0, trainer.corpus.n, size=(K, BATCH)).astype(np.int32)
+        ys = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
+        xs = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
+        return idx, ys, xs
+
+    def run_window(state):
+        idx, ys, xs = draw_window()
+        return trainer.train_step_indexed_multi(
+            state, trainer.corpus.images, trainer.corpus.labels,
+            idx, ys, xs, trainer.base_rng,
+        )
+
+    for _ in range(2):  # compile + one clean warmup window
+        state, metrics = run_window(state)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(WINDOWS):
+        state, metrics = run_window(state)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+    n_steps = WINDOWS * K
+    lower_args = (
+        state, trainer.corpus.images, trainer.corpus.labels,
+        *draw_window(), trainer.base_rng,
+    )
+    lower = lambda: trainer.train_step_indexed_multi.lower(*lower_args)  # noqa: E731
+    return BATCH * n_steps / elapsed, _mfu(lower, n_steps, elapsed)
+
+
+def run_streamed(cfg_lib, dm, mesh, rng) -> tuple[float, float | None]:
+    from s2tpu.parallel import mesh as mesh_lib
+    from s2tpu.train.trainer import SegmentationTrainer
+
+    config = _make_config(cfg_lib)
+    trainer = SegmentationTrainer(config, dm, mesh=mesh)
+    state = trainer.state
+    images = jax.device_put(
+        rng.integers(0, 4000, size=(BATCH, CROP, CROP, 6), dtype=np.int16),
+        mesh_lib.data_sharding(mesh),
+    )
+    labels = jax.device_put(
+        rng.integers(0, 4, size=(BATCH, CROP, CROP)).astype(np.int32),
+        mesh_lib.data_sharding(mesh),
+    )
+    for _ in range(WARMUP):
+        state, metrics = trainer.train_step(state, images, labels, trainer.base_rng)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = trainer.train_step(state, images, labels, trainer.base_rng)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+    lower = lambda: trainer.train_step.lower(state, images, labels, trainer.base_rng)  # noqa: E731
+    return BATCH * STEPS / elapsed, _mfu(lower, STEPS, elapsed)
 
 
 def main() -> None:
     from s2tpu.configs import segmentation as cfg_lib
     from s2tpu.data.pipeline import Datamodule
     from s2tpu.parallel import mesh as mesh_lib
-    from s2tpu.train.trainer import SegmentationTrainer
+
+    _packed_early()  # validate env up front
 
     # In-memory synthetic source: bench measures the train step, not disk IO.
     class SyntheticSource:
@@ -73,125 +196,43 @@ def main() -> None:
 
             return Sample(x=self.images[idx], y=self.labels[idx])
 
-    config = cfg_lib.base_config(MODEL, aoi="at", label_map="osm-multiclass")
-    config.datamodule.batch_size = BATCH
-    config.datamodule.random_crop_size = CROP
-    config.datamodule.data_split = (1.0, 0.0, 0.0)
-    config.train.compute_dtype = "bfloat16"
-    # Layout-only (numerically exact, same checkpoints): the e=1 encoder
-    # blocks on the c-major space-to-depth layout with the dense
-    # structural-zero depthwise kernel — measured +3.6% on the v5e
-    # (PERF_NOTES r3). BENCH_PACKED_EARLY=0|grouped|dense overrides.
-    pe = os.environ.get("BENCH_PACKED_EARLY", "dense")
-    config.train.packed_early_blocks = False if pe in ("0", "false", "") else pe
-
     source = SyntheticSource()
-    dm = Datamodule(config.datamodule, source=source)
+    dm = Datamodule(_make_config(cfg_lib).datamodule, source=source)
     dm.set_mean_std(np.full(6, 1500.0, np.float32), np.full(6, 900.0, np.float32))
     mesh = mesh_lib.make_mesh(1)
     rng = np.random.default_rng(1)
 
-    mode = MODE
-    trainer = None
-    if mode == "corpus":
-        hw = source.images.shape[1]
+    corpus_ips = corpus_mfu = streamed_ips = streamed_mfu = None
+    if MODE in ("both", "corpus"):
         # The whole corpus path — INCLUDING trainer construction, which
         # uploads the corpus into HBM — is guarded: any failure (e.g. corpus
         # + state OOM on a smaller part) falls back to the streamed
         # measurement instead of zeroing out the bench record.
         try:
-            config.train.device_corpus = True
-            config.train.steps_per_dispatch = K
-            trainer = SegmentationTrainer(config, dm, mesh=mesh)
-            state = trainer.state
-
-            def draw_window():
-                idx = rng.integers(0, trainer.corpus.n, size=(K, BATCH)).astype(np.int32)
-                ys = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
-                xs = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
-                return idx, ys, xs
-
-            def run_window(state):
-                idx, ys, xs = draw_window()
-                return trainer.train_step_indexed_multi(
-                    state, trainer.corpus.images, trainer.corpus.labels,
-                    idx, ys, xs, trainer.base_rng,
-                )
-
-            for _ in range(2):  # compile + one clean warmup window
-                state, metrics = run_window(state)
-            jax.block_until_ready(metrics["loss"])
-            t0 = time.perf_counter()
-            for _ in range(WINDOWS):
-                state, metrics = run_window(state)
-            jax.block_until_ready(metrics["loss"])
-            elapsed = time.perf_counter() - t0
-            n_steps = WINDOWS * K
-            lower_args = (
-                state, trainer.corpus.images, trainer.corpus.labels,
-                *draw_window(), trainer.base_rng,
-            )
-            lower = lambda: trainer.train_step_indexed_multi.lower(*lower_args)  # noqa: E731
-            # XLA's cost model counts a lax.scan body ONCE (not x trip
-            # count), so the K-fused program's reported flops already equal
-            # one optimizer step's (verified: corpus-mode MFU matched the
-            # streamed single-step MFU exactly at div=1, and was 10x low at
-            # div=K).
-            flops_div = 1
+            corpus_ips, corpus_mfu = run_corpus(cfg_lib, dm, mesh, rng)
         except Exception as e:  # noqa: BLE001 — never zero out the bench record
             print(f"bench: corpus mode failed ({type(e).__name__}: {e}); "
                   "falling back to streamed", file=sys.stderr)
-            mode = "streamed"
-            trainer = None  # rebuild below: windows may have consumed donated state
-            config.train.device_corpus = False
-            config.train.steps_per_dispatch = 1
-    if mode == "streamed":
-        if trainer is None:
-            trainer = SegmentationTrainer(config, dm, mesh=mesh)
-        state = trainer.state
-        images = jax.device_put(
-            rng.integers(0, 4000, size=(BATCH, CROP, CROP, 6), dtype=np.int16),
-            mesh_lib.data_sharding(mesh),
-        )
-        labels = jax.device_put(
-            rng.integers(0, 4, size=(BATCH, CROP, CROP)).astype(np.int32),
-            mesh_lib.data_sharding(mesh),
-        )
-        for _ in range(WARMUP):
-            state, metrics = trainer.train_step(state, images, labels, trainer.base_rng)
-        jax.block_until_ready(metrics["loss"])
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            state, metrics = trainer.train_step(state, images, labels, trainer.base_rng)
-        jax.block_until_ready(metrics["loss"])
-        elapsed = time.perf_counter() - t0
-        n_steps = STEPS
-        lower = lambda: trainer.train_step.lower(state, images, labels, trainer.base_rng)  # noqa: E731
-        flops_div = 1
+    if MODE in ("both", "streamed") or corpus_ips is None:
+        streamed_ips, streamed_mfu = run_streamed(cfg_lib, dm, mesh, rng)
 
-    images_per_sec = BATCH * n_steps / elapsed
-
-    # MFU from XLA's own cost model (flops of the whole train-step program).
-    mfu = None
-    try:
-        cost = lower().compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops_per_step = float(cost.get("flops", 0.0)) / flops_div
-        peak = 197e12  # TPU v5e bf16 peak FLOP/s
-        if flops_per_step > 0:
-            mfu = flops_per_step * (n_steps / elapsed) / peak
-    except Exception:  # noqa: BLE001 — MFU is informational only
-        pass
-
+    headline = corpus_ips if corpus_ips is not None else streamed_ips
     record = {
         "metric": f"train_images_per_sec_per_chip_{MODEL.replace('efficientnet-unet', 'effunet').replace('-', '_')}_bs{BATCH}_{CROP}_bf16",
-        "value": round(images_per_sec, 2),
+        "value": round(headline, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / REF_A100_IMG_PER_SEC, 3),
+        "vs_baseline": round(headline / REF_A100_IMG_PER_SEC, 3),
     }
-    if mfu is not None:
-        record["mfu"] = round(mfu, 4)
-    record["mode"] = mode if mode == "streamed" else f"device_corpus+steps_per_dispatch={K}"
+    headline_mfu = corpus_mfu if corpus_ips is not None else streamed_mfu
+    if headline_mfu is not None:
+        record["mfu"] = round(headline_mfu, 4)
+    record["mode"] = (
+        f"device_corpus+steps_per_dispatch={K}" if corpus_ips is not None else "streamed"
+    )
+    if corpus_ips is not None and streamed_ips is not None:
+        record["streamed"] = round(streamed_ips, 2)
+        if streamed_mfu is not None:
+            record["streamed_mfu"] = round(streamed_mfu, 4)
     print(json.dumps(record))
 
 

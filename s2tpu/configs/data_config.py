@@ -41,6 +41,13 @@ AOIs: dict[str, BBox] = {
 }
 
 BANDS: list[str] = ["B02", "B03", "B04", "B8A", "B11", "B12"]  # 10/20 m bands used by Prithvi-HLS
+# Every Sentinel-2 L2A surface-reflectance band (L2A has no B10 — cirrus is
+# atmospherically corrected away). BASELINE config #3 trains on all 12.
+BANDS_ALL12: list[str] = [
+    "B01", "B02", "B03", "B04", "B05", "B06", "B07", "B08", "B8A", "B09", "B11", "B12",
+]
+# Named band sets accepted by DatasetConfig.bands / --bands.
+BAND_SETS: dict[str, list[str]] = {"default": BANDS, "all12": BANDS_ALL12}
 EPSG_WGS84: int = 4326
 TIME_INTERVAL: tuple[str, str] = ("2020-01-01", "2021-01-01")
 SEGMENT_SIZE: tuple[int, int] = (512, 512)  # pixels per segment side

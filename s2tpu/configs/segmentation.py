@@ -13,7 +13,7 @@ import enum
 import typing
 from dataclasses import dataclass, field
 
-from s2tpu.configs.data_config import LABEL_MAPS
+from s2tpu.configs.data_config import BAND_SETS, BANDS, LABEL_MAPS
 
 
 class ModelName(str, enum.Enum):
@@ -47,6 +47,20 @@ class DatasetConfig:
     n_time_frames: int = 1
     squeeze_time_dim: bool = False  # (C,H,W) vs (C,1,H,W) per-sample shape
     data_dir: str | None = None  # override DATA_DIR (tests / packed corpora)
+    # Spectral band set: which Sentinel-2 bands the segment rasters carry, in
+    # raster band order. Drives the model's in_channels, the acquisition
+    # evalscript, and statistics lengths. Default = the 6 Prithvi-HLS bands
+    # (reference data_config.py:72); "all12" trains on every L2A band
+    # (BASELINE config #3). Accepts a BAND_SETS name or an explicit list.
+    bands: list[str] = field(default_factory=lambda: list(BANDS))
+
+    def __post_init__(self) -> None:
+        if isinstance(self.bands, str):
+            self.bands = list(BAND_SETS[self.bands])
+
+    @property
+    def in_channels(self) -> int:
+        return len(self.bands)
 
 
 @dataclass
@@ -123,6 +137,15 @@ class TrainConfig:
     # pretraining checkpoint directory (our own pretrain -> finetune flow)
     # instead of the converted Prithvi_100M.pt.
     backbone_ckpt: str | None = None
+    # fc-prithvi-backbone: freeze the ViT encoder (stop_gradient + optax
+    # zero-update mask; reference preset field segmentation.py:171 ->
+    # prithvi_segmentation.py:152-154). False trains the full network.
+    frozen_backbone: bool = True
+    # Two-phase finetune (BASELINE config #4 "frozen-then-unfrozen"): train
+    # with the frozen backbone until this epoch, then unfreeze — the trainer
+    # rebuilds the model/optimizer/jitted steps at the transition (fresh Adam
+    # moments; params/BN stats/step carry over). None = single phase.
+    unfreeze_backbone_at_epoch: int | None = None
 
     # Gradient accumulation: split each batch into N sequential microbatches
     # (lax.scan inside the jit'd step) and apply one optimizer update on the
@@ -210,7 +233,7 @@ class Config:
             return EfficientNetUNet(
                 EfficientNetUNetConfig(
                     version=name.rsplit("-", 1)[-1],
-                    in_channels=6,
+                    in_channels=self.datamodule.dataset_cfg.in_channels,
                     num_classes=self.num_classes,
                     class_distribution=self.train.class_distribution,
                     packed_early_blocks=self.train.packed_early_blocks,
@@ -233,10 +256,14 @@ class Config:
                     fcn_out_channels=256,
                     fcn_num_convs=1,
                     fcn_dropout=0.1,
-                    frozen_backbone=True,
+                    frozen_backbone=self.train.frozen_backbone,
                     patch_height=crop // 16,
                     patch_width=crop // 16,
-                    backbone=PrithviConfig(num_frames=t, img_size=crop),
+                    backbone=PrithviConfig(
+                        num_frames=t,
+                        img_size=crop,
+                        in_chans=self.datamodule.dataset_cfg.in_channels,
+                    ),
                 ),
                 dtype=dtype,
             )
