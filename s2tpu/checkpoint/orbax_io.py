@@ -134,6 +134,12 @@ class CheckpointManager:
     def has_preempt(self) -> bool:
         return (self.directory / "preempt.json").exists()
 
+    def preempt_epoch(self) -> int:
+        """Epoch of the pending preemption save (marker only, no restore) —
+        lets the trainer match opt_state structure (e.g. the unfreeze
+        transition) BEFORE building the restore template."""
+        return int(json.loads((self.directory / "preempt.json").read_text())["epoch"])
+
     def restore_preempt(self, state_like: TrainState) -> tuple[TrainState, int, int]:
         """(state, epoch, batches_done) of the interrupted epoch."""
         marker = json.loads((self.directory / "preempt.json").read_text())

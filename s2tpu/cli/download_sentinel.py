@@ -24,8 +24,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--resume", action="store_true", help="skip already-downloaded segments")
     p.add_argument("--overwrite", action="store_true", help="delete existing sentinel data first")
     p.add_argument("--data-dir", default=None)
+    p.add_argument(
+        "--bands", default="default",
+        help="band set: 'default' (6 Prithvi-HLS bands), 'all12' (every L2A "
+        "band, BASELINE config #3), or a comma list ('B02,B03,B04')",
+    )
     p.add_argument("--yes", action="store_true", help="skip the overwrite confirmation prompt")
     args = p.parse_args(argv)
+
+    from s2tpu.configs.data_config import parse_bands
+
+    bands = parse_bands(args.bands)
 
     data_dirs = DataDirs(aoi=args.aoi, map_type="", data_dir=args.data_dir)
     if args.overwrite and data_dirs.sentinel.exists() and not args.resume:
@@ -38,11 +47,12 @@ def main(argv: list[str] | None = None) -> None:
 
     n = download_sentinel(
         aoi=args.aoi,
-        fetch_fn=sentinel_fetcher(),
+        fetch_fn=sentinel_fetcher(bands=bands),
         frequency=args.frequency,
         workers=args.workers,
         resume=args.resume,
         data_dir=args.data_dir,
+        bands=bands,
     )
     print(f"Collected {n} sentinel images.")
 

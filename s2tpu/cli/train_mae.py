@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-interval", type=int, default=None)
     p.add_argument("--num-frames", type=int, default=None)
     p.add_argument("--crop", type=int, default=None, help="training crop size (/16; default 224)")
+    p.add_argument(
+        "--bands", default=None,
+        help="spectral band set ('default', 'all12', or a comma list); non-6-band "
+        "sets pretrain from scratch with dataset normalization statistics",
+    )
     p.add_argument("--mask-ratio", type=float, default=None)
     p.add_argument("--name", default=None)
     p.add_argument("--wandb", action="store_true", help="DISABLE wandb logging")
@@ -94,6 +99,10 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
     config = preset(config)
     t, dmc = config.train, config.datamodule
     dmc.dataset_cfg.data_dir = args.data_dir or dmc.dataset_cfg.data_dir
+    if args.bands:
+        from s2tpu.configs.data_config import parse_bands
+
+        dmc.dataset_cfg.bands = parse_bands(args.bands)
     dmc.batch_size = args.bs or dmc.batch_size
     if args.crop:
         assert args.crop % 16 == 0, f"--crop must be a multiple of the ViT patch size 16, got {args.crop}"
@@ -158,6 +167,7 @@ def main(argv: list[str] | None = None) -> None:
                 aoi=config.datamodule.dataset_cfg.aoi,
                 label_map="osm-multiclass",
                 data_dir=config.datamodule.dataset_cfg.data_dir,
+                bands=list(config.datamodule.dataset_cfg.bands),
             ),
             batch_size=config.datamodule.batch_size,
             data_split=config.datamodule.data_split,

@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--source", default="auto", choices=["auto", "tiff", "packed", "records"],
         help="input backend: auto picks a packed corpus when one exists",
     )
+    p.add_argument(
+        "--bands", default=None,
+        help="spectral band set: a named set ('default' = 6 Prithvi-HLS "
+        "bands, 'all12' = every L2A band) or a comma list ('B02,B03,B04'); "
+        "drives the model's in_channels (BASELINE config #3)",
+    )
     p.add_argument("--crop", type=int, default=None, help="training crop size (default 224)")
     p.add_argument("--data-dir", default=None, help="override DATA_DIR root")
     p.add_argument("--seed", type=int, default=None)
@@ -102,9 +108,34 @@ def build_parser() -> argparse.ArgumentParser:
         "--backbone-ckpt", default=None,
         help="fc-prithvi: init the backbone from an s2tpu MAE pretraining checkpoint dir",
     )
+    p.add_argument(
+        "--unfreeze-backbone", action="store_true",
+        help="fc-prithvi: train the ViT encoder too (default: frozen, "
+        "reference segmentation.py:171 frozen_backbone preset)",
+    )
+    p.add_argument(
+        "--unfreeze-at-epoch", type=int, default=None,
+        help="fc-prithvi two-phase finetune (BASELINE config #4): frozen "
+        "backbone until this epoch, then unfreeze (fresh optimizer moments; "
+        "params/BN/step carry over). Resume-safe.",
+    )
     # --type tune knobs (random search; reference stubs train_segmentation.py:284-289)
     p.add_argument("--n-trials", type=int, default=10, help="tune: number of random-search trials")
     p.add_argument("--epochs-per-trial", type=int, default=3, help="tune: short-fit budget per trial")
+    p.add_argument(
+        "--tune-crops", default=None,
+        help="tune: comma list of crop sizes to search (e.g. '128,224'); "
+        "default keeps the configured crop fixed",
+    )
+    p.add_argument(
+        "--tune-batch-sizes", default=None,
+        help="tune: comma list of batch sizes to search; default keeps the "
+        "configured batch size fixed",
+    )
+    p.add_argument(
+        "--tune-eta", type=int, default=2,
+        help="tune: ASHA successive-halving factor (1 disables pruning)",
+    )
     return p
 
 
@@ -113,6 +144,10 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     config = cfg_lib.set_run_type(config, args.type)
     t, dmc = config.train, config.datamodule
     dmc.dataset_cfg.data_dir = args.data_dir or dmc.dataset_cfg.data_dir
+    if args.bands:
+        from s2tpu.configs.data_config import parse_bands
+
+        dmc.dataset_cfg.bands = parse_bands(args.bands)
     dmc.batch_size = args.bs or dmc.batch_size
     dmc.random_crop_size = args.crop or dmc.random_crop_size
     t.lr = args.lr or t.lr
@@ -136,6 +171,11 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     t.param_dtype = args.param_dtype or t.param_dtype
     t.seed = args.seed if args.seed is not None else t.seed
     t.backbone_ckpt = args.backbone_ckpt or t.backbone_ckpt
+    t.frozen_backbone = False if args.unfreeze_backbone else t.frozen_backbone
+    t.unfreeze_backbone_at_epoch = (
+        args.unfreeze_at_epoch if args.unfreeze_at_epoch is not None
+        else t.unfreeze_backbone_at_epoch
+    )
     t.weighted_loss = args.weighted_loss or t.weighted_loss
     t.focal_loss_gamma = args.focal_loss_gamma or t.focal_loss_gamma
     t.lr_scheduler_type = (
@@ -207,18 +247,34 @@ def main(argv: list[str] | None = None) -> None:
         use_wandb=config.train.use_wandb_logger,
     )
     if args.type == "tune":
-        from s2tpu.train.tune import tune
+        from s2tpu.train.tune import SearchSpace, tune
 
         if args.n_trials < 1:
             run_logger.finish()
             raise SystemExit("--n-trials must be >= 1 for --type tune")
+        space = SearchSpace(
+            crop_sizes=tuple(int(c) for c in args.tune_crops.split(",")) if args.tune_crops else (),
+            batch_sizes=tuple(int(b) for b in args.tune_batch_sizes.split(",")) if args.tune_batch_sizes else (),
+        )
+        saved_mean_std = dm.mean_std()
+
+        def rebuild_dm(cfg):
+            # Crop/batch-size trial dims live on the datamodule — rebuild it
+            # per trial; normalization statistics are dataset properties and
+            # carry over unchanged.
+            trial_dm = Datamodule(cfg.datamodule, source=source)
+            trial_dm.set_mean_std(*saved_mean_std)
+            return trial_dm
+
         try:
             results = tune(
                 config,
-                datamodule_factory=lambda cfg: dm,
+                datamodule_factory=rebuild_dm,
                 n_trials=args.n_trials,
                 epochs_per_trial=args.epochs_per_trial,
                 seed=config.train.seed,
+                space=space,
+                eta=args.tune_eta,
             )
             for rank, r in enumerate(results):
                 run_logger.log_scalars(

@@ -48,6 +48,23 @@ BANDS_ALL12: list[str] = [
 ]
 # Named band sets accepted by DatasetConfig.bands / --bands.
 BAND_SETS: dict[str, list[str]] = {"default": BANDS, "all12": BANDS_ALL12}
+
+
+def parse_bands(spec: "str | list[str]") -> list[str]:
+    """Band-set spec -> explicit band list.
+
+    Accepts a BAND_SETS name ('default', 'all12'), a comma-separated band
+    list ('B02,B03,B04'), or an already-explicit list. Unknown band names
+    raise (typos must not silently change the channel contract)."""
+    if isinstance(spec, str):
+        spec = BAND_SETS[spec] if spec in BAND_SETS else [b.strip() for b in spec.split(",") if b.strip()]
+    bands = list(spec)
+    unknown = [b for b in bands if b not in BANDS_ALL12]
+    if unknown:
+        raise ValueError(f"unknown Sentinel-2 L2A bands {unknown}; valid: {BANDS_ALL12}")
+    if not bands:
+        raise ValueError("empty band list")
+    return bands
 EPSG_WGS84: int = 4326
 TIME_INTERVAL: tuple[str, str] = ("2020-01-01", "2021-01-01")
 SEGMENT_SIZE: tuple[int, int] = (512, 512)  # pixels per segment side

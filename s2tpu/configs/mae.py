@@ -25,6 +25,21 @@ class MAEDatasetConfig:
     aoi: str
     n_time_frames: int = 1
     data_dir: str | None = None
+    # Spectral band set (see segmentation.DatasetConfig.bands): a BAND_SETS
+    # name, comma list, or explicit list. Non-6-band sets train from scratch
+    # (the published Prithvi_100M.pt patch embed is 6-band) and normalize
+    # with dataset Welford statistics instead of the published Prithvi
+    # mean/std.
+    bands: "list[str] | str" = "default"
+
+    def __post_init__(self) -> None:
+        from s2tpu.configs.data_config import parse_bands
+
+        self.bands = parse_bands(self.bands)
+
+    @property
+    def in_channels(self) -> int:
+        return len(self.bands)
 
 
 @dataclass

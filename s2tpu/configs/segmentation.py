@@ -13,7 +13,7 @@ import enum
 import typing
 from dataclasses import dataclass, field
 
-from s2tpu.configs.data_config import BAND_SETS, BANDS, LABEL_MAPS
+from s2tpu.configs.data_config import BANDS, LABEL_MAPS
 
 
 class ModelName(str, enum.Enum):
@@ -55,8 +55,9 @@ class DatasetConfig:
     bands: list[str] = field(default_factory=lambda: list(BANDS))
 
     def __post_init__(self) -> None:
-        if isinstance(self.bands, str):
-            self.bands = list(BAND_SETS[self.bands])
+        from s2tpu.configs.data_config import parse_bands
+
+        self.bands = parse_bands(self.bands)
 
     @property
     def in_channels(self) -> int:

@@ -268,12 +268,14 @@ def make_synthetic_fixture(
     n_time: int = 1,
     size: tuple[int, int] = SEGMENT_SIZE,
     seed: int = 0,
+    n_bands: int = 6,
 ) -> DataDirs:
     """Generate an offline synthetic AOI following the real file contract.
 
     Images are smooth band-correlated int16 fields; labels are blobby class
     regions — enough structure that a model can overfit them, which is what
-    the convergence tests need.
+    the convergence tests need. ``n_bands`` widens the spectral axis (12 for
+    BASELINE config #3 fixtures) without touching the n_bands=6 goldens.
     """
     from s2tpu.geo.tiff import GeoInfo, write_geotiff
 
@@ -298,13 +300,13 @@ def make_synthetic_fixture(
         geo = GeoInfo(west=seg * 0.05, north=48.0, pixel_size_x=1e-4, pixel_size_y=1e-4)
         write_geotiff(data_dirs.label / f"{seg}.tif", labels, geo=geo)
         for t in range(n_time):
-            img = np.zeros((6, h, w), dtype=np.float64)
+            img = np.zeros((n_bands, h, w), dtype=np.float64)
             # Per-class DN step: 600/(K-1) for few classes (unchanged golden
             # trajectories), floored at 120 so many-class maps (e.g. 24-class
             # cnes-full) stay learnable against the noise (sigma=40) instead
             # of collapsing adjacent classes below 1 sigma.
             step = max(600.0 / max(1, num_classes - 1), 120.0)
-            for band in range(6):
+            for band in range(n_bands):
                 base = 400.0 + 350.0 * band
                 img[band] = base + step * labels.astype(np.float64)
                 img[band] += rng.normal(0, 40.0, size=(h, w))

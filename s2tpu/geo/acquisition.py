@@ -101,8 +101,13 @@ def download_sentinel(
     resume: bool = False,
     data_dir: str | Path | None = None,
     segments: list[BBox] | None = None,
+    bands: list[str] | None = None,
 ) -> int:
-    """Fetch time-composited 6-band segments -> sentinel/<seg>_<t>.tif."""
+    """Fetch time-composited multispectral segments -> sentinel/<seg>_<t>.tif.
+
+    ``bands`` records the band set the fetcher was built with (resume
+    metadata + the dataset's channel contract); default the 6 Prithvi-HLS
+    bands."""
     from s2tpu.configs.data_config import AOIs
 
     if segments is None:
@@ -113,7 +118,7 @@ def download_sentinel(
     data_dirs.sentinel.mkdir(parents=True, exist_ok=True)
     metadata = {
         "aoi": aoi,
-        "bands": BANDS,
+        "bands": bands if bands is not None else BANDS,
         "frequency": frequency,
         "interval": list(TIME_INTERVAL),
         "num_segments": len(segments),

@@ -43,10 +43,14 @@ def _sh_config():
     )
 
 
-def sentinel_fetcher(rate_limit_sleep: float = 2.0):
-    """SentinelHub L2A fetcher: (segment, interval) -> (H, W, C) int16."""
+def sentinel_fetcher(rate_limit_sleep: float = 2.0, bands: list[str] | None = None):
+    """SentinelHub L2A fetcher: (segment, interval) -> (H, W, C) int16.
+
+    ``bands`` selects the spectral bands (raster band order); default is the
+    6 Prithvi-HLS bands (reference data_config.py:72). BASELINE config #3
+    trains on BANDS_ALL12."""
     sh, config = _sh_config()
-    evalscript = sentinel2_evalscript(BANDS)
+    evalscript = sentinel2_evalscript(bands if bands is not None else BANDS)
 
     def fetch(segment: BBox, interval: tuple[str, str]) -> np.ndarray:
         request = sh.SentinelHubRequest(

@@ -71,11 +71,21 @@ class MAETrainer:
                 model_config,
                 attention_impl=getattr(config.model, "attention_impl", "xla"),
                 norm_pix_loss=config.model.norm_pix_loss,
+                in_chans=getattr(config.datamodule.dataset_cfg, "in_channels", 6),
             )
         self.model = PrithviMAE(model_config, dtype=dtype)
         self.model_config = model_config
 
-        mean, std = load_prithvi_mean_std()
+        if model_config.in_chans == 6:
+            mean, std = load_prithvi_mean_std()  # published Prithvi normalization
+        else:
+            # Non-6-band pretrain (e.g. --bands all12): the published stats
+            # do not apply — use dataset Welford statistics.
+            mean, std = datamodule.mean_std()
+            assert len(mean) == model_config.in_chans, (
+                f"dataset statistics carry {len(mean)} channels but the model expects "
+                f"{model_config.in_chans} — the rasters were acquired with a different band set"
+            )
         self.mean = jnp.asarray(mean)
         self.std = jnp.asarray(std)
         self.compute_dtype = dtype
@@ -134,6 +144,13 @@ class MAETrainer:
 
     def _load_pretrained(self, params):
         """Converted Prithvi_100M.pt weights when available (finetune path)."""
+        if self.model_config.in_chans != 6:
+            logger.warning(
+                f"in_chans={self.model_config.in_chans}: the published Prithvi_100M.pt "
+                "is a 6-band model — training from random init (use --from-scratch to "
+                "silence this)"
+            )
+            return params
         try:
             from s2tpu.checkpoint.convert_torch import load_prithvi_weights
 

@@ -206,6 +206,13 @@ class SegmentationTrainer:
         self.ckpt = checkpoint_manager
 
         mean, std = datamodule.mean_std()
+        in_ch = config.datamodule.dataset_cfg.in_channels
+        if len(mean) != in_ch:
+            raise ValueError(
+                f"band-count mismatch: the dataset statistics carry {len(mean)} channels "
+                f"but dataset_cfg.bands names {in_ch} — set --bands to the band set the "
+                "rasters were acquired with (BASELINE config #3: --bands all12)"
+            )
         self.mean = jnp.asarray(mean)
         self.std = jnp.asarray(std)
 
@@ -352,6 +359,24 @@ class SegmentationTrainer:
                 params["backbone"], jax.tree_util.tree_map(np.asarray, mae_params)
             )
             logger.info(f"Loaded MAE-pretrained backbone from {self.config.train.backbone_ckpt}")
+            return params
+        in_ch = self.config.datamodule.dataset_cfg.in_channels
+        if in_ch != 6:
+            # The published Prithvi_100M.pt patch embed is 6-band; rejecting
+            # here (not on a tensor-shape mismatch deep in the converter)
+            # keeps non-6-band runs well-defined: random init, or an s2tpu
+            # MAE pretrain with matching bands via --backbone-ckpt.
+            msg = (
+                f"fc-prithvi with in_channels={in_ch}: the published Prithvi_100M.pt "
+                "is a 6-band model and cannot initialize this backbone — the encoder "
+                "starts from random init (pretrain with cli.train_mae on the same band "
+                "set and pass --backbone-ckpt for a matched encoder)."
+            )
+            if self.model.config.frozen_backbone:
+                logger.warning(msg + " The backbone is FROZEN — unfreeze it or this head "
+                               "fits a random encoder.")
+            else:
+                logger.warning(msg)
             return params
         try:
             from s2tpu.checkpoint.convert_torch import load_prithvi_weights
@@ -570,6 +595,54 @@ class SegmentationTrainer:
         self._watch_enabled = watch
         self.eval_step = jax.jit(eval_step)
         self.predict_step = jax.jit(self._predict)
+
+    def unfreeze_backbone(self) -> None:
+        """Two-phase finetune transition (BASELINE config #4 frozen-then-
+        unfrozen; the reference exposes ``frozen_backbone`` as a static
+        preset field, segmentation.py:171 -> prithvi_segmentation.py:152-154
+        — the in-run transition is an s2tpu extension).
+
+        Rebuilds the model without the encoder ``stop_gradient``, a maskless
+        optimizer with FRESH Adam moments over ALL params (the frozen phase's
+        ``multi_transform`` state has no moments for the backbone, so a fresh
+        init is the only correct option), and every jitted step program.
+        Params, BN stats, and the step counter carry over — the LR schedule
+        continues uninterrupted. No-op unless a frozen fc-prithvi is live.
+        """
+        if not (self.is_prithvi and self.model.config.frozen_backbone):
+            return
+        logger.info(
+            "Unfreezing Prithvi backbone: full-network training from step "
+            f"{self._host_step} (fresh optimizer moments; params/BN/step carry over)"
+        )
+        self.config.train.frozen_backbone = False
+        self.model = self.config.build_model()
+        cfg = self.config
+        self.tx = make_optimizer(
+            self.schedule, cfg.train.weight_decay, cfg.train.betas,
+            self._frozen_mask(self.state.params),  # None now: model is unfrozen
+        )
+        if self._mixed_params:
+            self.tx = with_f32_master(self.tx)
+        # jit propagates the params' shardings into the moment trees, so this
+        # is correct under replicated DP and FSDP alike.
+        opt_state = jax.jit(self.tx.init)(self.state.params)
+        self.state = TrainState(
+            step=self.state.step,
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=opt_state,
+        )
+        self._exact_stats = None  # BN-recal programs close over the old model
+        self._local_predict_jit = None
+        self._build_steps()
+
+    def _maybe_unfreeze(self, epoch: int) -> None:
+        """Apply the scheduled unfreeze when entering ``epoch`` (also fires on
+        resume into a later epoch than the transition)."""
+        at = self.config.train.unfreeze_backbone_at_epoch
+        if at is not None and epoch >= at:
+            self.unfreeze_backbone()
 
     def _watch_this_step(self) -> bool:
         """True when the NEXT step's scalars will be read by _maybe_log_watch."""
@@ -933,6 +1006,9 @@ class SegmentationTrainer:
         if epoch is None and self.ckpt.has_preempt():
             # Exact mid-epoch continuation from a preemption save: re-enter
             # the interrupted epoch and skip its already-trained prefix.
+            # A save taken after the unfreeze transition carries the maskless
+            # opt_state — transition FIRST so the restore template matches.
+            self._maybe_unfreeze(self.ckpt.preempt_epoch())
             self.state, pepoch, done = self.ckpt.restore_preempt(self.state)
             self._host_step = int(self.state.step)
             self._skip_batches = done
@@ -945,6 +1021,9 @@ class SegmentationTrainer:
         latest = epoch if epoch is not None else self.ckpt.latest_epoch()
         if latest is None:
             return 0
+        # A checkpoint written at the end of epoch e was trained with epoch
+        # e's (possibly unfrozen) opt_state structure.
+        self._maybe_unfreeze(latest)
         self.state = self.ckpt.restore(self.state, epoch=latest)
         self._host_step = int(self.state.step)
         logger.info(f"Resumed from checkpoint epoch {latest} (step {int(self.state.step)})")
@@ -966,6 +1045,7 @@ class SegmentationTrainer:
     def _fit_loop(self, start_epoch: int, max_epochs: int, history: list[dict]) -> list[dict]:
         cfg = self.config
         for epoch in range(start_epoch, max_epochs):
+            self._maybe_unfreeze(epoch)
             try:
                 if preempt_requested(self):  # arrived between epochs / during eval
                     # Preserve a just-restored skip prefix: re-saving with 0

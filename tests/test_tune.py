@@ -151,3 +151,100 @@ def test_tune_optuna_missing_falls_back(fixture_dir, monkeypatch):
         backend="optuna",
     )
     assert len(results) == 1  # fell back to random search
+
+
+# ---------------------------------------------------- r4: 9-dim space + ASHA
+def test_search_space_covers_nine_dims():
+    """VERDICT r3 #9: scheduler type/warmup, crop, and batch-size dimensions
+    join the original five."""
+    space = SearchSpace(crop_sizes=(64, 128), batch_sizes=(8, 16))
+    rng = np.random.default_rng(0)
+    seen = set()
+    for _ in range(64):
+        params = sample_trial(space, rng)
+        seen.update(params.keys())
+        assert params["lr_scheduler_type"] in space.scheduler_types
+        assert params["warmup_epochs"] in space.warmup_epochs
+        assert params["random_crop_size"] in space.crop_sizes
+        assert params["batch_size"] in space.batch_sizes
+    assert seen == {
+        "lr", "weight_decay", "loss_type", "focal_loss_gamma", "weighted_loss",
+        "lr_scheduler_type", "warmup_epochs", "random_crop_size", "batch_size",
+    }
+
+
+def test_apply_trial_scheduler_and_geometry():
+    cfg = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    params = {
+        "lr": 3e-4, "weight_decay": 1e-2, "loss_type": "ce",
+        "focal_loss_gamma": 2.0, "weighted_loss": False,
+        "lr_scheduler_type": "cosine", "warmup_epochs": 1,
+        "random_crop_size": 128, "batch_size": 8,
+    }
+    out = apply_trial(cfg, params, epochs_per_trial=4)
+    assert out.train.lr_scheduler_type == cfg_lib.LRSchedulerType.COSINE
+    assert out.train.cosine_lr_sched_max_lr == 3e-4
+    assert out.train.cosine_lr_sched_first_cycle_steps == 4
+    assert out.train.cosine_lr_sched_warmup_steps == 1
+    assert out.datamodule.random_crop_size == 128
+    assert out.datamodule.batch_size == 8
+    # constant-lr trials clear the scheduler
+    out2 = apply_trial(cfg, {**params, "lr_scheduler_type": None})
+    assert out2.train.lr_scheduler_type is None
+
+
+def test_asha_rungs():
+    from s2tpu.train.tune import asha_rungs
+
+    assert asha_rungs(8, eta=2) == [1, 2, 4, 8]
+    assert asha_rungs(3, eta=2) == [1, 3]
+    assert asha_rungs(1, eta=2) == [1]
+    assert asha_rungs(9, eta=3) == [1, 3, 9]
+
+
+def test_asha_prunes_bad_trials(monkeypatch):
+    """A trial whose early-rung val loss falls outside the top 1/eta stops
+    training there (epochs_trained < budget, pruned=True); good trials run
+    the full budget. Trainer is faked so the pruning logic is isolated."""
+    import s2tpu.train.trainer as trainer_mod
+
+    # trial i gets val losses [i, i, ...] — trial order: 0 (good), 1, 2, 3
+    losses = iter([0.1, 0.5, 0.9, 0.05])
+
+    class FakeTrainer:
+        def __init__(self, cfg, dm, mesh=None):
+            self.loss = next(losses)
+
+        def fit(self, epochs, start_epoch=0):
+            return [
+                {"val/loss": self.loss, "val/iou": 1.0 - self.loss}
+                for _ in range(start_epoch, epochs)
+            ]
+
+    monkeypatch.setattr(trainer_mod, "SegmentationTrainer", FakeTrainer)
+    base = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    results = tune(
+        base, datamodule_factory=lambda cfg: None, n_trials=4,
+        epochs_per_trial=4, space=SearchSpace(), eta=2,
+    )
+    assert len(results) == 4
+    by_loss = {round(r.val_loss, 2): r for r in results}
+    # trial 0 (0.1) sets the bar; 0.5 and 0.9 get pruned at an early rung
+    assert not by_loss[0.1].pruned and by_loss[0.1].epochs_trained == 4
+    assert by_loss[0.5].pruned and by_loss[0.5].epochs_trained < 4
+    assert by_loss[0.9].pruned and by_loss[0.9].epochs_trained < 4
+    assert not by_loss[0.05].pruned and by_loss[0.05].epochs_trained == 4
+    # completed trials sort ahead of pruned ones
+    assert [r.pruned for r in results] == [False, False, True, True]
+
+
+def test_tune_cli_space_flags():
+    from s2tpu.cli.train_segmentation import build_parser
+
+    args = build_parser().parse_args([
+        "small", "osm-multiclass", "efficientnet-unet-b0", "--type", "tune",
+        "--tune-crops", "64,128", "--tune-batch-sizes", "8,16", "--tune-eta", "3",
+    ])
+    assert args.tune_crops == "64,128"
+    assert args.tune_batch_sizes == "8,16"
+    assert args.tune_eta == 3
