@@ -92,6 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
         "drives the model's in_channels (BASELINE config #3)",
     )
     p.add_argument("--crop", type=int, default=None, help="training crop size (default 224)")
+    p.add_argument(
+        "--time-frames", type=int, default=None,
+        help="frames per sample (quarterly composites: 4); fc-prithvi folds "
+        "time via tubelets, the UNet needs --stack-time",
+    )
+    p.add_argument(
+        "--stack-time", action="store_true",
+        help="fold the T axis into channels for single-frame models "
+        "(BASELINE config #3: B5 on quarterly composites, in_channels = T*bands)",
+    )
     p.add_argument("--data-dir", default=None, help="override DATA_DIR root")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument(
@@ -118,6 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="fc-prithvi two-phase finetune (BASELINE config #4): frozen "
         "backbone until this epoch, then unfreeze (fresh optimizer moments; "
         "params/BN/step carry over). Resume-safe.",
+    )
+    p.add_argument(
+        "--unfreeze-lr-scale", type=float, default=None,
+        help="LR multiplier applied at the unfreeze transition (full-network "
+        "training usually wants ~0.1x the head-only LR)",
     )
     # --type tune knobs (random search; reference stubs train_segmentation.py:284-289)
     p.add_argument("--n-trials", type=int, default=10, help="tune: number of random-search trials")
@@ -148,6 +163,10 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
         from s2tpu.configs.data_config import parse_bands
 
         dmc.dataset_cfg.bands = parse_bands(args.bands)
+    if args.time_frames:
+        dmc.dataset_cfg.n_time_frames = args.time_frames
+    if args.stack_time:
+        dmc.dataset_cfg.stack_time_into_channels = True
     dmc.batch_size = args.bs or dmc.batch_size
     dmc.random_crop_size = args.crop or dmc.random_crop_size
     t.lr = args.lr or t.lr
@@ -176,6 +195,9 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
         args.unfreeze_at_epoch if args.unfreeze_at_epoch is not None
         else t.unfreeze_backbone_at_epoch
     )
+    t.unfreeze_lr_scale = (
+        args.unfreeze_lr_scale if args.unfreeze_lr_scale is not None else t.unfreeze_lr_scale
+    )
     t.weighted_loss = args.weighted_loss or t.weighted_loss
     t.focal_loss_gamma = args.focal_loss_gamma or t.focal_loss_gamma
     t.lr_scheduler_type = (
@@ -195,6 +217,9 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
         else get_unique_run_name(name=args.name, postfix=t.project_name)
     )
     t.wandb_entity = os.getenv("WANDB_ENTITY")
+    # Re-validate: flags above mutate fields (n_time_frames, stack_time,
+    # bands) that Config.__post_init__ checked at construction time.
+    config.__post_init__()
     return config
 
 

@@ -39,6 +39,10 @@ class MAEDatasetConfig:
 
     @property
     def in_channels(self) -> int:
+        if isinstance(self.bands, str):  # post-init mutation with a set name
+            from s2tpu.configs.data_config import parse_bands
+
+            self.bands = parse_bands(self.bands)
         return len(self.bands)
 
 

@@ -53,6 +53,11 @@ class DatasetConfig:
     # (reference data_config.py:72); "all12" trains on every L2A band
     # (BASELINE config #3). Accepts a BAND_SETS name or an explicit list.
     bands: list[str] = field(default_factory=lambda: list(BANDS))
+    # Multi-temporal input for single-frame models (BASELINE config #3's
+    # B5 on quarterly composites): fold the T axis into channels just before
+    # the model — (B, T, H, W, C) -> (B, H, W, T*C), frame-major channel
+    # order. The ViT consumes T natively (tubelet); this is the UNet path.
+    stack_time_into_channels: bool = False
 
     def __post_init__(self) -> None:
         from s2tpu.configs.data_config import parse_bands
@@ -61,6 +66,10 @@ class DatasetConfig:
 
     @property
     def in_channels(self) -> int:
+        if isinstance(self.bands, str):  # post-init mutation with a set name
+            from s2tpu.configs.data_config import parse_bands
+
+            self.bands = parse_bands(self.bands)
         return len(self.bands)
 
 
@@ -147,6 +156,11 @@ class TrainConfig:
     # rebuilds the model/optimizer/jitted steps at the transition (fresh Adam
     # moments; params/BN stats/step carry over). None = single phase.
     unfreeze_backbone_at_epoch: int | None = None
+    # LR multiplier applied at the unfreeze transition (phase 2 trains the
+    # full network — head-only LRs destabilize a pretrained encoder; measured
+    # on the pretrain->finetune anchor: lr=1e-3 unfrozen scored 0.9146 vs
+    # 0.9574 frozen). 1.0 = keep the schedule unchanged.
+    unfreeze_lr_scale: float = 1.0
 
     # Gradient accumulation: split each batch into N sequential microbatches
     # (lax.scan inside the jit'd step) and apply one optimizer update on the
@@ -210,8 +224,12 @@ class Config:
         if isinstance(self.model_name, str):
             self.model_name = ModelName(self.model_name)
         if self.model_name.value.startswith("efficientnet-unet"):
-            assert self.datamodule.dataset_cfg.n_time_frames == 1, "EfficientNet-UNet is single-frame"
-            self.datamodule.dataset_cfg.squeeze_time_dim = True
+            ds = self.datamodule.dataset_cfg
+            assert ds.n_time_frames == 1 or ds.stack_time_into_channels, (
+                "EfficientNet-UNet is single-frame: T>1 needs "
+                "stack_time_into_channels (--stack-time) to fold frames into channels"
+            )
+            ds.squeeze_time_dim = ds.n_time_frames == 1
         if self.num_classes is None:
             self.num_classes = LABEL_MAPS[self.datamodule.dataset_cfg.label_map].num_classes
 
@@ -231,10 +249,14 @@ class Config:
         if name.startswith("efficientnet-unet"):
             from s2tpu.models.efficientnet_unet import EfficientNetUNet, EfficientNetUNetConfig
 
+            ds = self.datamodule.dataset_cfg
+            in_ch = ds.in_channels * (
+                ds.n_time_frames if ds.stack_time_into_channels else 1
+            )
             return EfficientNetUNet(
                 EfficientNetUNetConfig(
                     version=name.rsplit("-", 1)[-1],
-                    in_channels=self.datamodule.dataset_cfg.in_channels,
+                    in_channels=in_ch,
                     num_classes=self.num_classes,
                     class_distribution=self.train.class_distribution,
                     packed_early_blocks=self.train.packed_early_blocks,

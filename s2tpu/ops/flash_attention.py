@@ -21,6 +21,7 @@ training at L~200 never routes here, and the inference path needs no grad.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -366,6 +367,40 @@ def _fused_bwd_dense_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, scale: float, n
         dqkv_ref[0, :, 2 * dim + i * dh : 2 * dim + (i + 1) * dh] = dv.astype(dqkv_ref.dtype)
 
 
+def _fused_fwd_dense_kernel_paired(qkv_ref, o_ref, *, scale: float, num_heads: int):
+    """TODO-#2 experiment (VERDICT r3 #7): two heads per iteration, batched
+    over a leading pair axis so each MXU pass carries a (2, L, D_h) operand —
+    the hypothesis is that Mosaic tiles the D_h=32 contraction of two heads
+    into one 128-lane pass instead of two quarter-utilized ones. The (L, 2*dh)
+    lane slice is contiguous in the dense layout (heads are adjacent), so the
+    packing itself is a reshape+transpose relayout whose cost is the
+    experiment's question. Measured on the MAE decoder (16 heads, D_h=32) —
+    numbers in PERF_NOTES.md."""
+    dim = qkv_ref.shape[2] // 3
+    dh = dim // num_heads
+    l = qkv_ref.shape[1]
+    for i in range(num_heads // 2):
+        lo = 2 * i * dh
+        # (L, 2*dh) -> (2, L, dh): pair axis leads, heads stay lane-contiguous
+        q = qkv_ref[0, :, lo : lo + 2 * dh].reshape(l, 2, dh).transpose(1, 0, 2)
+        k = qkv_ref[0, :, dim + lo : dim + lo + 2 * dh].reshape(l, 2, dh).transpose(1, 0, 2)
+        v = qkv_ref[0, :, 2 * dim + lo : 2 * dim + lo + 2 * dh].reshape(l, 2, dh).transpose(1, 0, 2)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (2, L, L)
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / p.sum(axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (2, L, dh)
+        o_ref[0, :, lo : lo + 2 * dh] = (
+            o.transpose(1, 0, 2).reshape(l, 2 * dh).astype(o_ref.dtype)
+        )
+
+
 def _dense_spec(l: int, c: int):
     return pl.BlockSpec((1, l, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
@@ -393,8 +428,13 @@ def _fused_fwd_dense(qkv, num_heads, interpret):
     assert l <= FUSED_MAX_LEN, (l, "use flash_attention for long sequences")
     dim = c3 // 3
     scale = 1.0 / ((dim // num_heads) ** 0.5)
+    # S2TPU_FUSED_PAIRED=1: the two-heads-per-MXU-pass experiment (fwd only;
+    # see _fused_fwd_dense_kernel_paired). Trace-time env read — flip it
+    # between bench runs, not mid-program.
+    paired = os.environ.get("S2TPU_FUSED_PAIRED") == "1" and num_heads % 2 == 0
+    fwd_kernel = _fused_fwd_dense_kernel_paired if paired else _fused_fwd_dense_kernel
     out = pl.pallas_call(
-        functools.partial(_fused_fwd_dense_kernel, scale=scale, num_heads=num_heads),
+        functools.partial(fwd_kernel, scale=scale, num_heads=num_heads),
         out_shape=jax.ShapeDtypeStruct((b, l, dim), qkv.dtype),
         grid=(b,),
         in_specs=[_dense_spec(l, c3)],

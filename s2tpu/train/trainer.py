@@ -196,7 +196,11 @@ class SegmentationTrainer:
         # UNet + packed stage: feed space-to-depth inputs so no 224²x6
         # tensor ever materializes on device (see augment.normalize).
         self._s2d_input = (
-            not self.is_prithvi and getattr(self.model.config, "packed_input_stage", False)
+            not self.is_prithvi
+            and getattr(self.model.config, "packed_input_stage", False)
+            # space-to-depth assumes (B,H,W,C); stacked multi-temporal
+            # batches are 5D until _model_input folds them
+            and config.datamodule.dataset_cfg.n_time_frames == 1
         )
         self.compute_dtype = _dtype_from_name(config.train.compute_dtype)
         # bf16 param storage + f32 master copy in the optimizer state: the
@@ -270,8 +274,14 @@ class SegmentationTrainer:
     def _model_input(self, images: jax.Array) -> jax.Array:
         """Batch -> model input layout, keyed by dataset_cfg.squeeze_time_dim
         (parity: reference s2osm_dataset.py:65-68): squeezed batches stay
-        (B, H, W, C) for the UNet; unsqueezed ones get T=1 for the ViT."""
-        if images.ndim == 4 and not self.config.datamodule.dataset_cfg.squeeze_time_dim:
+        (B, H, W, C) for the UNet; unsqueezed ones get T=1 for the ViT.
+        stack_time_into_channels folds (B, T, H, W, C) -> (B, H, W, T*C) for
+        single-frame models on multi-temporal composites (config #3's B5)."""
+        ds = self.config.datamodule.dataset_cfg
+        if images.ndim == 5 and ds.stack_time_into_channels:
+            b, t, h, w, c = images.shape
+            return images.transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * c)
+        if images.ndim == 4 and not ds.squeeze_time_dim:
             return images[:, None]
         return images
 
@@ -285,7 +295,11 @@ class SegmentationTrainer:
     def _init_state(self) -> TrainState:
         cfg = self.config
         crop = cfg.datamodule.random_crop_size
-        sample = jnp.zeros((1, crop, crop, len(self.mean)), self.compute_dtype)
+        t = cfg.datamodule.dataset_cfg.n_time_frames
+        if t > 1:  # multi-temporal batches arrive (B, T, H, W, C)
+            sample = jnp.zeros((1, t, crop, crop, len(self.mean)), self.compute_dtype)
+        else:
+            sample = jnp.zeros((1, crop, crop, len(self.mean)), self.compute_dtype)
         sample = self._model_input(sample)
 
         @jax.jit
@@ -618,6 +632,14 @@ class SegmentationTrainer:
         self.config.train.frozen_backbone = False
         self.model = self.config.build_model()
         cfg = self.config
+        scale = cfg.train.unfreeze_lr_scale
+        if scale != 1.0:
+            # Full-network phase at a gentler LR (see unfreeze_lr_scale).
+            base = self.schedule
+            self.schedule = (
+                base * scale if isinstance(base, (int, float))
+                else (lambda step, _b=base: _b(step) * scale)
+            )
         self.tx = make_optimizer(
             self.schedule, cfg.train.weight_decay, cfg.train.betas,
             self._frozen_mask(self.state.params),  # None now: model is unfrozen

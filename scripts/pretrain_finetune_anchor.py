@@ -47,13 +47,28 @@ def main() -> None:
     p.add_argument("--segments", type=int, default=128)
     p.add_argument("--with-random-baseline", action="store_true")
     p.add_argument(
+        "--unfreeze-at", type=int, default=10,
+        help="two-phase leg (BASELINE config #4): frozen backbone until this "
+        "epoch, then full-network training (0 disables the leg)",
+    )
+    p.add_argument(
+        "--unfreeze-lr-scale", type=float, default=0.1,
+        help="phase-2 LR multiplier (1e-3 unfrozen measured 0.9146 vs 0.9574 "
+        "frozen — full-network training needs a gentler LR)",
+    )
+    p.add_argument(
         "--mae-ckpt", default=None,
         help="skip pretraining and finetune from this existing MAE checkpoint dir",
+    )
+    p.add_argument(
+        "--workdir", default=None,
+        help="persist fixture+MAE checkpoint here (reruns pass --mae-ckpt <workdir>/mae_ckpt)",
     )
     p.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "MIOU.json"))
     args = p.parse_args()
 
-    tmp = tempfile.mkdtemp(prefix="s2tpu_pf_")
+    tmp = args.workdir or tempfile.mkdtemp(prefix="s2tpu_pf_")
+    Path(tmp).mkdir(parents=True, exist_ok=True)
     make_synthetic_fixture(
         tmp, aoi="small", label_map="osm-multiclass", n_segments=args.segments, size=(256, 256), seed=0
     )
@@ -71,6 +86,10 @@ def main() -> None:
         mcfg.train.compute_dtype = "bfloat16"
         mcfg.train.from_scratch = True
         mcfg.train.device_corpus = True  # index-only steps (relay is ~40 MB/s)
+        # Per-epoch async Orbax saves stall ~110 s each through the relay
+        # (the next save waits on the previous); a quarter-cadence keeps
+        # crash-resume without serializing the run on checkpoint IO.
+        mcfg.train.ckpt_every_n_epochs = max(args.mae_epochs // 4, 1)
         mae_source = TiffSource("small", "osm-multiclass", data_dir=tmp, require_labels=False)
         # The generic Datamodule consumes the segmentation DatamoduleConfig;
         # mirror the train_mae CLI's construction from the MAE config fields.
@@ -98,7 +117,7 @@ def main() -> None:
         mae_s = time.time() - t0
 
     # ---- stage 2: frozen-backbone finetune from the MAE checkpoint --------
-    def finetune(backbone_ckpt: str | None) -> dict:
+    def finetune(backbone_ckpt: str | None, unfreeze_at: int | None = None) -> dict:
         c = cfg_lib.base_config("fc-prithvi-backbone", aoi="small", label_map="osm-multiclass")
         c.datamodule.dataset_cfg.data_dir = tmp
         c.datamodule.batch_size = 16
@@ -107,6 +126,8 @@ def main() -> None:
         c.train.compute_dtype = "bfloat16"
         c.train.lr = args.seg_lr
         c.train.backbone_ckpt = backbone_ckpt
+        c.train.unfreeze_backbone_at_epoch = unfreeze_at
+        c.train.unfreeze_lr_scale = args.unfreeze_lr_scale
         # (no BN recalibration: the FCN head's decay-0.9 BNs converge in
         # ~25 steps; the ViT backbone is LayerNorm-only)
         src = TiffSource("small", "osm-multiclass", data_dir=tmp)
@@ -123,6 +144,19 @@ def main() -> None:
             "images_per_sec": round(hist[-1].get("train/images_per_sec", 0.0), 1),
         }
 
+    # --mae-ckpt reruns the finetune legs only; carry the measured pretrain
+    # stats forward from the existing record instead of overwriting with NaN.
+    mae_stats = {}
+    if args.mae_ckpt:
+        out_prev = Path(args.out)
+        if out_prev.exists():
+            prev = json.loads(out_prev.read_text())
+            for r in prev if isinstance(prev, list) else [prev]:
+                if r.get("model") == "fc-prithvi-backbone" and r.get("pipeline", "").startswith("s2tpu MAE"):
+                    mae_stats = {
+                        k: r[k] for k in ("mae_final_train_loss", "mae_pretrain_s") if k in r
+                    }
+
     pretrained = finetune(str(ckpt_dir))
     record = {
         "model": "fc-prithvi-backbone",
@@ -132,10 +166,22 @@ def main() -> None:
         "mae_epochs": args.mae_epochs,
         "mae_final_train_loss": round(mae_hist[-1].get("train/loss", float("nan")), 4),
         "mae_pretrain_s": round(mae_s, 1),
+        **mae_stats,
         "seg_epochs": args.seg_epochs,
+        "seg_lr": args.seg_lr,
         **{f"pretrained_{k}": v for k, v in pretrained.items()},
         "backend": jax.default_backend(),
     }
+    if args.unfreeze_at:
+        # BASELINE config #4: frozen->UNFROZEN two-phase finetune (same MAE
+        # checkpoint, same epoch budget; the backbone trains from
+        # --unfreeze-at on). Expected: >= the frozen leg's mIoU.
+        record["unfreeze_at_epoch"] = args.unfreeze_at
+        record["unfreeze_lr_scale"] = args.unfreeze_lr_scale
+        record.update({
+            f"two_phase_{k}": v
+            for k, v in finetune(str(ckpt_dir), unfreeze_at=args.unfreeze_at).items()
+        })
     if args.with_random_baseline:
         record.update({f"random_frozen_{k}": v for k, v in finetune(None).items()})
 

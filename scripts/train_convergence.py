@@ -51,6 +51,22 @@ def main() -> None:
     p.add_argument("--crop", type=int, default=224)
     p.add_argument("--seg-size", type=int, default=256)
     p.add_argument(
+        "--bands", default="default",
+        help="band set ('default', 'all12', comma list) — the fixture is "
+        "generated with len(bands) channels (BASELINE config #3: all12)",
+    )
+    p.add_argument(
+        "--time-frames", type=int, default=1,
+        help="frames per sample (BASELINE config #3 quarterly composites: 4; "
+        "fc-prithvi folds time via tubelet patch embedding). T>1 streams "
+        "TIFFs (the packed/device-corpus layouts are single-frame)",
+    )
+    p.add_argument(
+        "--unfrozen", action="store_true",
+        help="fc-prithvi: train the backbone too (supervised-from-scratch "
+        "anchors have no pretrained encoder to freeze)",
+    )
+    p.add_argument(
         "--num-devices", type=int, default=1,
         help="data-parallel mesh size (8 on the virtual CPU mesh validates "
         "that multi-chip training converges identically to single-device)",
@@ -64,30 +80,41 @@ def main() -> None:
     )
     args = p.parse_args()
 
+    from s2tpu.configs.data_config import parse_bands
+
+    bands = parse_bands(args.bands)
     tmp = tempfile.mkdtemp(prefix="s2tpu_conv_")
     make_synthetic_fixture(
         tmp, aoi="small", label_map=args.label_map, n_segments=args.segments,
         size=(args.seg_size, args.seg_size), seed=0,
+        n_bands=len(bands), n_time=args.time_frames,
     )
 
     config = cfg_lib.base_config(args.model, aoi="small", label_map=args.label_map)
     config.datamodule.dataset_cfg.data_dir = tmp
+    config.datamodule.dataset_cfg.bands = bands
+    config.datamodule.dataset_cfg.n_time_frames = args.time_frames
     config.datamodule.batch_size = args.bs
     config.datamodule.random_crop_size = args.crop
     config.datamodule.data_split = (0.75, 0.25, 0.0)
     config.train.compute_dtype = "bfloat16"
     config.train.lr = args.lr
-    config.train.device_corpus = True
+    config.train.device_corpus = args.time_frames == 1
     config.train.max_epochs = args.epochs
+    if args.unfrozen:
+        config.train.frozen_backbone = False
     # Short run: pool exact BN stats before each val pass (the encoder's
     # 0.99 BN EMA needs hundreds of steps to converge on its own).
     config.train.bn_recalibration_batches = 3
 
-    source = TiffSource("small", args.label_map, data_dir=tmp)
-    packed = pack_dataset(source, Path(tmp) / "packed")
-    dm = Datamodule(config.datamodule, source=packed)
+    source = TiffSource(
+        "small", args.label_map, data_dir=tmp, n_time_frames=args.time_frames
+    )
+    if args.time_frames == 1:
+        source = pack_dataset(source, Path(tmp) / "packed")
+    dm = Datamodule(config.datamodule, source=source)
     dist = statistics.get_class_probabilities(
-        packed, num_classes=config.num_classes, ignore_zero_label=True
+        source, num_classes=config.num_classes, ignore_zero_label=True
     )
     config.train.class_distribution = dist.tolist()
 
@@ -126,6 +153,9 @@ def main() -> None:
         "dataset": f"synthetic {args.label_map} seed0 n={args.segments} {args.seg_size}^2 (deterministic)",
         "crop": args.crop,
         "mesh": {"data": args.num_devices},
+        **({"bands": args.bands} if args.bands != "default" else {}),
+        **({"n_time_frames": args.time_frames} if args.time_frames != 1 else {}),
+        **({"frozen_backbone": False} if args.unfrozen else {}),
         "epochs": args.epochs,
         "lr": args.lr,
         "batch_size": args.bs,
@@ -152,11 +182,15 @@ def main() -> None:
     if out.exists():
         prev = json.loads(out.read_text())
         existing = prev if isinstance(prev, list) else [prev]
-    key = (record["model"], record["label_map"], args.num_devices)
+    key = (record["model"], record["label_map"], args.num_devices, args.bands, args.time_frames)
     existing = [
         r
         for r in existing
-        if (r.get("model"), r.get("label_map", "osm-multiclass"), r.get("mesh", {}).get("data", 1)) != key
+        if (
+            r.get("model"), r.get("label_map", "osm-multiclass"),
+            r.get("mesh", {}).get("data", 1), r.get("bands", "default"),
+            r.get("n_time_frames", 1),
+        ) != key
     ]
     existing.append(record)
     out.write_text(json.dumps(existing, indent=2) + "\n")

@@ -106,6 +106,7 @@ def _unet12_config(fixture12):
     return cfg
 
 
+@pytest.mark.slow
 def test_12band_unet_train_step(fixture12):
     """A 12-band B0 trains end-to-end on a 12-band fixture (config #3 bands)."""
     cfg = _unet12_config(fixture12)

@@ -7,6 +7,7 @@ import numpy as np
 from s2tpu.models.prithvi_mae import PrithviConfig
 from s2tpu.models.prithvi_seg import PrithviSegmentationConfig, PrithviSegmentationNet
 from s2tpu.parallel import mesh as mesh_lib
+import pytest
 
 
 def _seg_for_tile(tile: int, cp: bool) -> PrithviSegmentationNet:
@@ -25,6 +26,7 @@ def _seg_for_tile(tile: int, cp: bool) -> PrithviSegmentationNet:
     return PrithviSegmentationNet(cfg)
 
 
+@pytest.mark.slow
 def test_cp_large_tile_matches_unsharded(rng):
     """512-tile (1024-token) segmentation: token-axis sharding over 'model'
     must reproduce the unsharded forward (VERDICT r1 #7: context-parallel

@@ -229,6 +229,7 @@ def _corpus_epoch_trainer(fixture_dir, steps_per_dispatch: int, sharded: bool = 
     return trainer
 
 
+@pytest.mark.slow
 def test_steps_per_dispatch_equivalence(fixture_dir):
     """K fused steps (lax.scan over donated state) produce the same training
     trajectory as K single dispatches: same per-step RNG fold on state.step,
@@ -250,6 +251,7 @@ def test_steps_per_dispatch_equivalence(fixture_dir):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_steps_per_dispatch_remainder_and_sharded(fixture_dir):
     """K=2 over 3 batches: one fused window + one single-step remainder; and
     the sharded-corpus gather works inside the fused scan."""

@@ -41,6 +41,7 @@ def test_grain_deterministic_and_reshuffles(setup):
     assert any(not np.array_equal(x.images, y.images) for x, y in zip(a, c))
 
 
+@pytest.mark.slow
 def test_grain_multiprocess_matches_inprocess(setup):
     src, cfg = setup
     a = list(grain_train_batches(src, np.arange(6), cfg, epoch=0))

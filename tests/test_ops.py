@@ -111,6 +111,7 @@ def test_fused_attention_dense_fwd_and_grads(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_attention_in_prithvi_block(rng):
     """attention_impl='fused' must reproduce the 'xla' forward through a full
     PrithviMAE (same params, same masking rng). Token counts chosen so both
@@ -230,3 +231,18 @@ def test_fused_ce_large_class_count(rng):
     g1 = jax.grad(lambda lg: fused_cross_entropy(lg, labels, ignore_index=0, interpret=True))(logits)
     g2 = jax.grad(lambda lg: losses.cross_entropy(lg, labels, ignore_index=0))(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_attention_dense_paired_matches(monkeypatch):
+    """S2TPU_FUSED_PAIRED=1 (two heads per MXU pass, VERDICT r3 #7 experiment)
+    is numerically identical to the per-head kernel."""
+    import numpy as np
+
+    from s2tpu.ops.flash_attention import fused_attention_dense
+
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(2, 197, 3 * 16 * 32)).astype(np.float32))
+    base = fused_attention_dense(qkv, 16, interpret=True)
+    monkeypatch.setenv("S2TPU_FUSED_PAIRED", "1")
+    paired = fused_attention_dense(qkv, 16, interpret=True)
+    np.testing.assert_allclose(np.asarray(paired), np.asarray(base), rtol=0, atol=0)

@@ -56,6 +56,7 @@ def _sigterm_after_first_step(trainer, step_attr: str):
     setattr(trainer, step_attr, wrapped)
 
 
+@pytest.mark.slow
 def test_seg_preempt_save_and_exact_resume(fixture_dir, tmp_path):
     # Uninterrupted reference trajectory (3 batches: 6 segments, bs 2).
     ref = _seg_trainer(fixture_dir, tmp_path / "ref")
@@ -86,6 +87,7 @@ def test_seg_preempt_save_and_exact_resume(fixture_dir, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_seg_preempt_fused_dispatch_window(fixture_dir, tmp_path):
     """Preemption inside fused-dispatch mode (steps_per_dispatch=2): the
     interrupt lands at a WINDOW boundary (2 optimizer steps done), resume
@@ -113,6 +115,7 @@ def test_seg_preempt_fused_dispatch_window(fixture_dir, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_seg_preempt_between_epochs(fixture_dir, tmp_path):
     """A preemption flag that lands between epochs (e.g. during eval) is
     caught by the pre-epoch check: the save records (next_epoch, 0 batches)

@@ -167,6 +167,7 @@ def test_frozen_backbone_blocks_gradients(rng):
     assert head_norm > 0.0
 
 
+@pytest.mark.slow
 def test_seg_trainer_loads_prithvi_weights(fixture_dir, tmp_path, monkeypatch, caplog):
     """The fc-prithvi-backbone trainer must ingest Prithvi_100M.pt when
     present, and warn loudly about a frozen RANDOM backbone when absent

@@ -146,6 +146,7 @@ def _tiny_args():
     )
 
 
+@pytest.mark.slow
 def test_prithvi_mae_pred_parity(ref):
     pr = ref["prithvi"]
     args = _tiny_args()

@@ -122,6 +122,7 @@ def test_tune_optuna_backend_mock(fixture_dir, monkeypatch):
     assert len(results) == 2
 
 
+@pytest.mark.slow
 def test_tune_optuna_missing_falls_back(fixture_dir, monkeypatch):
     import builtins
 
