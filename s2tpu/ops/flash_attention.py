@@ -368,14 +368,18 @@ def _fused_bwd_dense_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, scale: float, n
 
 
 def _fused_fwd_dense_kernel_paired(qkv_ref, o_ref, *, scale: float, num_heads: int):
-    """TODO-#2 experiment (VERDICT r3 #7): two heads per iteration, batched
-    over a leading pair axis so each MXU pass carries a (2, L, D_h) operand —
-    the hypothesis is that Mosaic tiles the D_h=32 contraction of two heads
-    into one 128-lane pass instead of two quarter-utilized ones. The (L, 2*dh)
-    lane slice is contiguous in the dense layout (heads are adjacent), so the
-    packing itself is a reshape+transpose relayout whose cost is the
-    experiment's question. Measured on the MAE decoder (16 heads, D_h=32) —
-    numbers in PERF_NOTES.md."""
+    """TODO-#2 experiment (VERDICT r3 #7) — measured r4, REJECTED: two heads
+    per iteration, batched over a leading pair axis so each MXU pass carries
+    a (2, L, D_h) operand. The (L, 2*dh) lane slice is contiguous in the
+    dense layout, but Mosaic rejects the lane-splitting relayout outright
+    (`unsupported shape cast vector<1x197x64> -> vector<197x2x32>`), and the
+    pass-count analysis shows packing can't win anyway: MXU cost is one pass
+    per 128x128 OUTPUT tile, so the (L, L) score and (L, dh) AV outputs cost
+    the same number of passes whether the contraction is dh=32 or a packed
+    64. D_h=32 lane padding is intrinsic to the published 16-head decoder
+    geometry. Kept behind S2TPU_FUSED_PAIRED=1 as the documented negative
+    result (runs under interpret=True for parity; reproduces the Mosaic
+    error on real TPU). Full numbers in PERF_NOTES.md r4."""
     dim = qkv_ref.shape[2] // 3
     dh = dim // num_heads
     l = qkv_ref.shape[1]
