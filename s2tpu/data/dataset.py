@@ -298,7 +298,22 @@ def make_synthetic_fixture(
         quantiles = np.quantile(field, np.linspace(0, 1, num_classes + 1)[1:-1])
         labels = np.digitize(field, quantiles).astype(np.uint8)
         geo = GeoInfo(west=seg * 0.05, north=48.0, pixel_size_x=1e-4, pixel_size_y=1e-4)
-        write_geotiff(data_dirs.label / f"{seg}.tif", labels, geo=geo)
+        # Remapped CNES maps (cnes-multiclass / binaries): the label-raster
+        # file contract is RAW nomenclature codes — TiffSource applies the
+        # LUT remap on read (dataset.py:114). Write one representative raw
+        # code per target class so the remap path is exercised and every
+        # target class survives it (writing target indices directly collapses
+        # them: e.g. raw 1..4 all remap to "nature").
+        lut = LABEL_MAPS[label_map].remap_lut()
+        if lut is not None:
+            inverse = np.array(
+                [int(np.nonzero(lut == i)[0][0]) for i in range(num_classes)],
+                dtype=np.uint8,
+            )
+            disk_labels = inverse[labels]
+        else:
+            disk_labels = labels
+        write_geotiff(data_dirs.label / f"{seg}.tif", disk_labels, geo=geo)
         for t in range(n_time):
             img = np.zeros((n_bands, h, w), dtype=np.float64)
             # Per-class DN step: 600/(K-1) for few classes (unchanged golden

@@ -62,6 +62,11 @@ def main() -> None:
         "TIFFs (the packed/device-corpus layouts are single-frame)",
     )
     p.add_argument(
+        "--stack-time", action="store_true",
+        help="UNet multi-temporal: fold T frames into channels "
+        "(BASELINE config #3 as written — B5 on quarterly composites)",
+    )
+    p.add_argument(
         "--unfrozen", action="store_true",
         help="fc-prithvi: train the backbone too (supervised-from-scratch "
         "anchors have no pretrained encoder to freeze)",
@@ -94,6 +99,7 @@ def main() -> None:
     config.datamodule.dataset_cfg.data_dir = tmp
     config.datamodule.dataset_cfg.bands = bands
     config.datamodule.dataset_cfg.n_time_frames = args.time_frames
+    config.datamodule.dataset_cfg.stack_time_into_channels = args.stack_time
     config.datamodule.batch_size = args.bs
     config.datamodule.random_crop_size = args.crop
     config.datamodule.data_split = (0.75, 0.25, 0.0)
@@ -155,6 +161,7 @@ def main() -> None:
         "mesh": {"data": args.num_devices},
         **({"bands": args.bands} if args.bands != "default" else {}),
         **({"n_time_frames": args.time_frames} if args.time_frames != 1 else {}),
+        **({"stack_time_into_channels": True} if args.stack_time else {}),
         **({"frozen_backbone": False} if args.unfrozen else {}),
         "epochs": args.epochs,
         "lr": args.lr,

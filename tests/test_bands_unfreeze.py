@@ -240,6 +240,7 @@ def test_unfreeze_transition_mid_fit(fixture_dir, monkeypatch):
     assert all(np.isfinite(h["train/loss"]) for h in history)
 
 
+@pytest.mark.slow
 def test_unfreeze_resume_across_transition(fixture_dir, tmp_path, monkeypatch):
     """A checkpoint saved AFTER the transition restores into a fresh trainer:
     resume_from_checkpoint must rebuild the maskless opt_state template

@@ -165,6 +165,7 @@ def test_full_block_matches_torch(converted, rng):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_efficientnet_conversion_structure():
     """Synthetic lukemelas-style state dict converts into encoder templates."""
     from s2tpu.models.efficientnet_unet import EfficientNetEncoder, EfficientNetUNetConfig

@@ -37,6 +37,25 @@ def test_file_contract_pairs_time_frames(tmp_path):
     assert src.label_index_for(0) == src.label_index_for(1) == src.label_index_for(2) == 0
 
 
+def test_remapped_cnes_fixture_survives_lut(tmp_path):
+    """Regression (r4): for remapped CNES maps the fixture must write RAW
+    nomenclature codes — TiffSource applies the LUT on read, and writing
+    target indices directly collapsed classes 1..3 into one (an anchor run
+    trained on the mangled labels before this was caught)."""
+    from s2tpu.data.dataset import make_synthetic_fixture
+
+    for label_map, n in [("cnes-multiclass", 4), ("cnes-impervious-binary", 2)]:
+        make_synthetic_fixture(
+            tmp_path / label_map, aoi="vie", label_map=label_map,
+            n_segments=2, size=(64, 64),
+        )
+        src = TiffSource("vie", label_map, data_dir=tmp_path / label_map)
+        seen = set()
+        for i in range(len(src)):
+            seen |= set(np.unique(src[i].y).tolist())
+        assert seen == set(range(n)), (label_map, seen)
+
+
 def test_pack_roundtrip(source, tmp_path):
     packed = pack_dataset(source, tmp_path / "packed")
     assert len(packed) == len(source)

@@ -141,6 +141,7 @@ def test_bf16_compute_dtype(unet_vars):
     assert y.shape == (2, 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_packed_input_stage_matches_dense():
     """Space-to-depth full-res stage == plain stage: same param/stats trees,
     same outputs (train + eval), same BN statistics."""
@@ -177,6 +178,7 @@ def test_packed_input_stage_matches_dense():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=jtu.keystr(k))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", [True, "dense"])
 def test_packed_early_blocks_match_dense(variant):
     """c-major packed early blocks (flag-gated perf experiments — both the

@@ -64,6 +64,7 @@ def test_single_frame_flips_unchanged_semantics():
 
 
 # ------------------------------------------- r4: UNet frame-stacking (T->C)
+@pytest.mark.slow
 def test_stack_time_into_channels_trains_unet(tmp_path):
     """BASELINE config #3's B5 path: quarterly composites feed a single-frame
     UNet by folding T into channels ((B,T,H,W,C) -> (B,H,W,T*C), frame-major).

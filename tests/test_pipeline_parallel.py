@@ -139,6 +139,7 @@ def test_pipelined_decoder_matches_sequential(vit, n_micro, pipe):
     np.testing.assert_allclose(np.asarray(pp), np.asarray(seq), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipelined_mae_forward_full_matches_sequential(vit):
     """Full MAE forward with BOTH stacks pipelined (stages=2 divides depth=4
     and decoder_depth=2): loss/pred/mask and parameter grads must match the

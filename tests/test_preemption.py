@@ -137,6 +137,7 @@ def test_seg_preempt_between_epochs(fixture_dir, tmp_path):
     assert not r.ckpt.has_preempt()
 
 
+@pytest.mark.slow
 def test_mae_preempt_streamed_resume(fixture_dir, tmp_path):
     """Same contract on the MAE trainer's host-streamed loop (islice skip)."""
     from tests.test_mae_trainer import TINY

@@ -74,6 +74,7 @@ def test_unet_quantized_forward(rng):
     assert err < 0.15, f"quantized UNet logits diverged: rel_err={err:.4f}"
 
 
+@pytest.mark.slow
 def test_prithvi_quantized_encoder(rng):
     from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE
 
@@ -99,6 +100,7 @@ def test_prithvi_quantized_encoder(rng):
     assert err < 0.1, f"quantized ViT encoder diverged: rel_err={err:.4f}"
 
 
+@pytest.mark.slow
 def test_prithvi_segmentation_net_quantized(rng):
     """Full fc-prithvi serving model: backbone Denses + FCN nn.Conv quantize;
     the neck's ConvTranspose layers correctly stay float (not in

@@ -191,6 +191,7 @@ def test_prithvi_pos_embed_matches_reference(ref):
 # ---------------------------------------------------------------------------
 # Full PrithviSegmentationNet (backbone + neck + FCN head) parity
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_prithvi_seg_full_net_parity(ref, monkeypatch):
     """The full reference PrithviSegmentationNet vs s2tpu, weights converted
     through convert_reference_prithvi_seg_state_dict — the finetuned-checkpoint
