@@ -34,6 +34,17 @@ from s2tpu.data.dataset import PackedSource, SegmentSource
 from s2tpu.parallel import mesh as mesh_lib
 
 
+def crop_slice_images(imgs: jax.Array, i, y, x, crop: int) -> jax.Array:
+    """Crop one segment from a corpus block — (N, H, W, C) or, multi-temporal,
+    (N, T, H, W, C): every frame of the group gets the SAME spatial crop (the
+    grouping contract; reference s2osm_dataset.py:23 stacks aligned quarterly
+    composites). Pure lax — call inside jit."""
+    if imgs.ndim == 5:
+        t, c = imgs.shape[1], imgs.shape[4]
+        return jax.lax.dynamic_slice(imgs, (i, 0, y, x, 0), (1, t, crop, crop, c))[0]
+    return jax.lax.dynamic_slice(imgs, (i, y, x, 0), (1, crop, crop, imgs.shape[3]))[0]
+
+
 def _materialize(source: SegmentSource) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(source, PackedSource):
         return np.asarray(source.images), np.asarray(source.labels)
@@ -61,7 +72,9 @@ class DeviceCorpus:
     ) -> None:
         images, labels = _materialize(source)
         self.n = images.shape[0]
-        self.hw = images.shape[1:3]
+        # (N, H, W, C) single-frame or (N, T, H, W, C) multi-temporal —
+        # spatial dims are always the middle two from the right.
+        self.hw = images.shape[-3:-1]
         self.mesh = mesh
         self.sharded = bool(shard and mesh is not None and mesh.shape[mesh_lib.DATA_AXIS] > 1)
         if self.sharded:
@@ -136,15 +149,12 @@ class DeviceCorpus:
         return [train_idx[owners == k] % self.n_local for k in range(d)]
 
     def gather(self, idx: jax.Array, ys: jax.Array, xs: jax.Array, crop: int):
-        """On-device crop gather: (B,) indices/offsets -> (B, crop, crop, C), (B, crop, crop).
-
-        Pure jnp — call inside the jit'd train step.
+        """On-device crop gather: (B,) indices/offsets -> (B[, T], crop, crop, C),
+        (B, crop, crop). Pure jnp — call inside the jit'd train step.
         """
 
         def one(i, y, x):
-            img = jax.lax.dynamic_slice(
-                self.images, (i, y, x, 0), (1, crop, crop, self.images.shape[3])
-            )[0]
+            img = crop_slice_images(self.images, i, y, x, crop)
             lbl = jax.lax.dynamic_slice(self.labels, (i, y, x), (1, crop, crop))[0]
             return img, lbl
 
@@ -265,7 +275,7 @@ def sharded_gather(mesh: jax.sharding.Mesh, crop: int):
 
     def local_gather(imgs, lbls, idx, ys, xs):
         def one(i, y, x):
-            img = jax.lax.dynamic_slice(imgs, (i, y, x, 0), (1, crop, crop, imgs.shape[3]))[0]
+            img = crop_slice_images(imgs, i, y, x, crop)
             lbl = jax.lax.dynamic_slice(lbls, (i, y, x), (1, crop, crop))[0]
             return img, lbl
 
@@ -287,7 +297,7 @@ def sharded_image_gather(mesh: jax.sharding.Mesh, crop: int):
 
     def local_gather(imgs, idx, ys, xs):
         def one(i, y, x):
-            return jax.lax.dynamic_slice(imgs, (i, y, x, 0), (1, crop, crop, imgs.shape[3]))[0]
+            return crop_slice_images(imgs, i, y, x, crop)
 
         return jax.vmap(one)(idx, ys, xs)
 

@@ -235,9 +235,17 @@ class Attention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, l, _ = x.shape
         head_dim = self.dim // self.num_heads
-        from s2tpu.ops.flash_attention import FUSED_MAX_LEN, FUSED_MIN_LEN
+        from s2tpu.ops.flash_attention import FUSED_MAX_LEN, FUSED_MIN_LEN, fused_fits_vmem
 
-        if self.impl == "fused" and FUSED_MIN_LEN <= l <= FUSED_MAX_LEN:
+        if (
+            self.impl == "fused"
+            and FUSED_MIN_LEN <= l <= FUSED_MAX_LEN
+            # The whole-score-matrix kernels must fit Mosaic's scoped-vmem
+            # budget; at multi-temporal decoder lengths (T=4: L=785) the
+            # backward kernel's footprint is ~24 MB vs the 16 MB limit, so
+            # those route to the streaming flash path below.
+            and fused_fits_vmem(l, self.dim, self.num_heads)
+        ):
             # Training-grade fused attention: Pallas fwd+bwd keep the (L, L)
             # probabilities in VMEM (XLA materializes them in f32 HBM —
             # measured 23 ms of the 62.75 ms MAE step; scripts/profile_mae.py).

@@ -172,6 +172,28 @@ flash_attention.defvjp(_fwd, _bwd)
 DEFAULT_HEAD_GROUP = 8
 FUSED_MAX_LEN = 1024  # beyond this the score matrix stops being VMEM-friendly
 FUSED_MIN_LEN = 128  # below this XLA's materialized softmax is already cheap
+# Mosaic's default scoped-vmem budget per program; kernels whose estimated
+# footprint exceeds ~85% of it must route to the streaming kernel instead.
+SCOPED_VMEM_LIMIT = 16 * 1024 * 1024
+
+
+def fused_fits_vmem(l: int, dim: int, num_heads: int) -> bool:  # noqa: ARG001
+    """Whether the fused (whole-score-matrix-in-VMEM) kernels fit Mosaic's
+    scoped-vmem budget at this geometry. The binding constraint is the
+    BACKWARD dense kernel, one program per batch item:
+
+    - pipelined block buffers, double-buffered bf16: qkv in (L, 3D), dqkv
+      out (L, 3D), o + do in (L, D) each -> 2 * 2B * L * 8D = 32*L*D bytes;
+    - f32 score-shaped scratch live concurrently (s, p, dp, ds) plus the
+      bf16 p cast -> ~18*L*L bytes.
+
+    At the Prithvi T=4 decoder (L=785, D=512) this predicts 24.0 MB — the
+    exact scoped-vmem OOM Mosaic reported (24.27M vs the 16M limit); at the
+    T=1 decoder (L=197) it is 3.9 MB. Callers should fall back to
+    `flash_attention` (streaming, O(L) VMEM) when this returns False."""
+    blocks = 32 * l * dim
+    scratch = 18 * l * l
+    return blocks + scratch <= int(SCOPED_VMEM_LIMIT * 0.85)
 
 
 def _fused_fwd_kernel(qkv_ref, o_ref, *, scale: float):

@@ -283,12 +283,12 @@ class MAETrainer:
         else:
 
             def gather(corpus_images, idx, ys, xs):
+                from s2tpu.data.device_corpus import crop_slice_images
+
                 crop = dm_cfg.random_crop_size
 
                 def one(i, y, x):
-                    return jax.lax.dynamic_slice(
-                        corpus_images, (i, y, x, 0), (1, crop, crop, corpus_images.shape[3])
-                    )[0]
+                    return crop_slice_images(corpus_images, i, y, x, crop)
 
                 return jax.vmap(one)(idx, ys, xs)
 
@@ -600,6 +600,8 @@ class MAETrainer:
             batch = next(iter(self.dm.eval_batches(split)))
             rec = self.reconstruct(batch.images[:1])[0, 0]  # (H, W, C) denormalized
             orig = np.asarray(batch.images[0], np.float64)
+            if orig.ndim == 4:  # multi-temporal (T, H, W, C): show frame 0
+                orig = orig[0]
 
             def to_rgb(img_hwc):
                 rgb = img_hwc[..., [2, 1, 0]].astype(np.float64)  # B04,B03,B02

@@ -561,13 +561,15 @@ class SegmentationTrainer:
 
             def corpus_gather(corpus_images, corpus_labels, idx, ys, xs):
                 """Device-corpus gather: crops sliced on device (idx/ys/xs are
-                the only per-step host->device traffic)."""
+                the only per-step host->device traffic). Handles (N, H, W, C)
+                and multi-temporal (N, T, H, W, C) corpora (same spatial crop
+                across a sample's frames — the grouping contract)."""
+                from s2tpu.data.device_corpus import crop_slice_images
+
                 crop = dm_cfg.random_crop_size
 
                 def one(i, y, x):
-                    img = jax.lax.dynamic_slice(
-                        corpus_images, (i, y, x, 0), (1, crop, crop, corpus_images.shape[3])
-                    )[0]
+                    img = crop_slice_images(corpus_images, i, y, x, crop)
                     lbl = jax.lax.dynamic_slice(corpus_labels, (i, y, x), (1, crop, crop))[0]
                     return img, lbl
 
@@ -1172,13 +1174,16 @@ class SegmentationTrainer:
             ):
                 sample = self.dm.source[idx]
                 crop = self.config.datamodule.random_crop_size
-                y0 = (sample.x.shape[0] - crop) // 2
-                x0 = (sample.x.shape[1] - crop) // 2
-                img = sample.x[y0 : y0 + crop, x0 : x0 + crop]
+                # spatial dims are the last three from the right — samples are
+                # (H, W, C) or, multi-temporal, (T, H, W, C)
+                y0 = (sample.x.shape[-3] - crop) // 2
+                x0 = (sample.x.shape[-2] - crop) // 2
+                img = sample.x[..., y0 : y0 + crop, x0 : x0 + crop, :]
                 lbl = sample.y[y0 : y0 + crop, x0 : x0 + crop]
                 logits = predict(jnp.asarray(img)[None])
                 pred = np.asarray(jnp.argmax(logits[0], axis=-1))
-                rgb = stretch_rgb(img.transpose(2, 0, 1))
+                disp = img[0] if img.ndim == 4 else img  # first frame of a T>1 stack
+                rgb = stretch_rgb(disp.transpose(2, 0, 1))
                 fig = plot_sentinel_and_mask(rgb, lbl, lm, pred=pred)
                 self.run_logger.log_image(name, fig, step)
                 plt.close("all")

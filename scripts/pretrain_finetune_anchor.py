@@ -65,12 +65,35 @@ def main() -> None:
         help="persist fixture+MAE checkpoint here (reruns pass --mae-ckpt <workdir>/mae_ckpt)",
     )
     p.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "MIOU.json"))
+    p.add_argument(
+        "--bands", default="default",
+        help="band set for BOTH stages (BASELINE config #3: all12) — the MAE "
+        "encoder pretrains at this width and the finetune ingests it via "
+        "train.backbone_ckpt (the published 6-band Prithvi_100M.pt cannot "
+        "initialize a 12-band backbone; this pipeline is the matched path)",
+    )
+    p.add_argument(
+        "--time-frames", type=int, default=1,
+        help="frames per sample for both stages (quarterly composites: 4; "
+        "the ViT folds time via tubelet patch embedding)",
+    )
+    p.add_argument("--label-map", default="osm-multiclass")
+    p.add_argument("--crop", type=int, default=224, help="train crop (both stages)")
+    p.add_argument("--seg-size", type=int, default=256, help="fixture segment size")
+    p.add_argument("--mae-bs", type=int, default=None)
+    p.add_argument("--seg-bs", type=int, default=None)
     args = p.parse_args()
 
+    from s2tpu.configs.data_config import parse_bands
+
+    bands = parse_bands(args.bands)
+    label_map = args.label_map
     tmp = args.workdir or tempfile.mkdtemp(prefix="s2tpu_pf_")
     Path(tmp).mkdir(parents=True, exist_ok=True)
     make_synthetic_fixture(
-        tmp, aoi="small", label_map="osm-multiclass", n_segments=args.segments, size=(256, 256), seed=0
+        tmp, aoi="small", label_map=label_map, n_segments=args.segments,
+        size=(args.seg_size, args.seg_size), seed=0, n_bands=len(bands),
+        n_time=args.time_frames,
     )
 
     # ---- stage 1: MAE pretrain from scratch on the unlabeled corpus -------
@@ -80,23 +103,32 @@ def main() -> None:
     else:
         mcfg = mae_cfg.pretrain(mae_cfg.base_config(aoi="small"))
         mcfg.datamodule.dataset_cfg.data_dir = tmp
-        mcfg.datamodule.batch_size = 32
-        mcfg.datamodule.random_crop_size = 224
+        mcfg.datamodule.dataset_cfg.bands = list(bands)
+        mcfg.datamodule.dataset_cfg.n_time_frames = args.time_frames
+        mcfg.model.num_frames = args.time_frames
+        mcfg.datamodule.batch_size = args.mae_bs or (32 if args.time_frames == 1 else 16)
+        mcfg.datamodule.random_crop_size = args.crop
         mcfg.datamodule.data_split = (0.9, 0.1, 0.0)
         mcfg.train.compute_dtype = "bfloat16"
         mcfg.train.from_scratch = True
-        mcfg.train.device_corpus = True  # index-only steps (relay is ~40 MB/s)
+        # index-only steps (relay is ~40 MB/s); T>1 corpora upload as
+        # (N, T, H, W, C) and gather per-frame-aligned crops on device
+        mcfg.train.device_corpus = True
         # Per-epoch async Orbax saves stall ~110 s each through the relay
         # (the next save waits on the previous); a quarter-cadence keeps
         # crash-resume without serializing the run on checkpoint IO.
         mcfg.train.ckpt_every_n_epochs = max(args.mae_epochs // 4, 1)
-        mae_source = TiffSource("small", "osm-multiclass", data_dir=tmp, require_labels=False)
+        mae_source = TiffSource(
+            "small", label_map, data_dir=tmp, require_labels=False,
+            n_time_frames=args.time_frames,
+        )
         # The generic Datamodule consumes the segmentation DatamoduleConfig;
         # mirror the train_mae CLI's construction from the MAE config fields.
         mae_dm = Datamodule(
             cfg_lib.DatamoduleConfig(
                 dataset_cfg=cfg_lib.DatasetConfig(
-                    aoi="small", label_map="osm-multiclass", data_dir=tmp
+                    aoi="small", label_map=label_map, data_dir=tmp,
+                    bands=list(bands), n_time_frames=args.time_frames,
                 ),
                 batch_size=mcfg.datamodule.batch_size,
                 data_split=mcfg.datamodule.data_split,
@@ -118,10 +150,12 @@ def main() -> None:
 
     # ---- stage 2: frozen-backbone finetune from the MAE checkpoint --------
     def finetune(backbone_ckpt: str | None, unfreeze_at: int | None = None) -> dict:
-        c = cfg_lib.base_config("fc-prithvi-backbone", aoi="small", label_map="osm-multiclass")
+        c = cfg_lib.base_config("fc-prithvi-backbone", aoi="small", label_map=label_map)
         c.datamodule.dataset_cfg.data_dir = tmp
-        c.datamodule.batch_size = 16
-        c.datamodule.random_crop_size = 224
+        c.datamodule.dataset_cfg.bands = list(bands)
+        c.datamodule.dataset_cfg.n_time_frames = args.time_frames
+        c.datamodule.batch_size = args.seg_bs or (16 if args.time_frames == 1 else 8)
+        c.datamodule.random_crop_size = args.crop
         c.datamodule.data_split = (0.75, 0.25, 0.0)
         c.train.compute_dtype = "bfloat16"
         c.train.lr = args.seg_lr
@@ -130,9 +164,11 @@ def main() -> None:
         c.train.unfreeze_lr_scale = args.unfreeze_lr_scale
         # (no BN recalibration: the FCN head's decay-0.9 BNs converge in
         # ~25 steps; the ViT backbone is LayerNorm-only)
-        src = TiffSource("small", "osm-multiclass", data_dir=tmp)
+        src = TiffSource("small", label_map, data_dir=tmp, n_time_frames=args.time_frames)
         dm = Datamodule(c.datamodule, source=src)
-        dist = statistics.get_class_probabilities(src, num_classes=4, ignore_zero_label=True)
+        dist = statistics.get_class_probabilities(
+            src, num_classes=c.num_classes, ignore_zero_label=True
+        )
         c.train.class_distribution = dist.tolist()
         tr = SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1))
         hist = tr.fit(epochs=args.seg_epochs)
@@ -160,9 +196,11 @@ def main() -> None:
     pretrained = finetune(str(ckpt_dir))
     record = {
         "model": "fc-prithvi-backbone",
-        "label_map": "osm-multiclass",
-        "dataset": f"synthetic osm-multiclass seed0 n={args.segments} 256^2 (deterministic)",
+        "label_map": label_map,
+        "dataset": f"synthetic {label_map} seed0 n={args.segments} 256^2 (deterministic)",
         "pipeline": "s2tpu MAE pretrain (from scratch) -> frozen-backbone finetune",
+        **({"bands": args.bands} if args.bands != "default" else {}),
+        **({"n_time_frames": args.time_frames} if args.time_frames != 1 else {}),
         "mae_epochs": args.mae_epochs,
         "mae_final_train_loss": round(mae_hist[-1].get("train/loss", float("nan")), 4),
         "mae_pretrain_s": round(mae_s, 1),
@@ -188,8 +226,20 @@ def main() -> None:
     out = Path(args.out)
     existing = json.loads(out.read_text()) if out.exists() else []
     existing = existing if isinstance(existing, list) else [existing]
-    key = (record["model"], record["label_map"])
-    existing = [r for r in existing if (r.get("model"), r.get("label_map")) != key]
+    # Replace only the matching PIPELINE record (train_convergence.py writes
+    # pipeline-less records for the same model/map — keep those).
+    key = (record["model"], record["label_map"], args.bands, args.time_frames)
+    existing = [
+        r
+        for r in existing
+        if not (
+            r.get("pipeline", "").startswith("s2tpu MAE")
+            and (
+                r.get("model"), r.get("label_map", "osm-multiclass"),
+                r.get("bands", "default"), r.get("n_time_frames", 1),
+            ) == key
+        )
+    ]
     existing.append(record)
     out.write_text(json.dumps(existing, indent=2) + "\n")
     print(json.dumps(record))

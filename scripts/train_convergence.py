@@ -58,8 +58,7 @@ def main() -> None:
     p.add_argument(
         "--time-frames", type=int, default=1,
         help="frames per sample (BASELINE config #3 quarterly composites: 4; "
-        "fc-prithvi folds time via tubelet patch embedding). T>1 streams "
-        "TIFFs (the packed/device-corpus layouts are single-frame)",
+        "fc-prithvi folds time via tubelet patch embedding)",
     )
     p.add_argument(
         "--stack-time", action="store_true",
@@ -105,7 +104,7 @@ def main() -> None:
     config.datamodule.data_split = (0.75, 0.25, 0.0)
     config.train.compute_dtype = "bfloat16"
     config.train.lr = args.lr
-    config.train.device_corpus = args.time_frames == 1
+    config.train.device_corpus = True  # T>1 corpora are (N, T, H, W, C)
     config.train.max_epochs = args.epochs
     if args.unfrozen:
         config.train.frozen_backbone = False

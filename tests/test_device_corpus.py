@@ -34,6 +34,83 @@ def test_gather_matches_host_slices(corpus, rng):
         )
 
 
+@pytest.fixture(scope="module")
+def t3_fixture(tmp_path_factory):
+    from s2tpu.data.dataset import make_synthetic_fixture
+
+    root = tmp_path_factory.mktemp("t3fix")
+    make_synthetic_fixture(
+        root, aoi="small", label_map="osm-multiclass", n_segments=6, n_time=3, size=(96, 96)
+    )
+    return str(root)
+
+
+def test_gather_multitemporal_matches_host(t3_fixture):
+    """T>1 corpus uploads as (N, T, H, W, C); every frame of a gathered
+    sample gets the SAME spatial crop (the quarterly-composite grouping
+    contract, reference s2osm_dataset.py:23)."""
+    src = TiffSource("small", "osm-multiclass", data_dir=t3_fixture, n_time_frames=3)
+    dc = DeviceCorpus(src)
+    assert dc.images.ndim == 5 and dc.images.shape[1] == 3
+    assert dc.hw == (96, 96)
+    idx = np.array([0, 4], np.int32)
+    ys = np.array([7, 0], np.int32)
+    xs = np.array([0, 33], np.int32)
+    imgs, lbls = dc.gather(
+        jax.numpy.asarray(idx), jax.numpy.asarray(ys), jax.numpy.asarray(xs), crop=32
+    )
+    assert imgs.shape == (2, 3, 32, 32, 6)
+    for k in range(2):
+        s = src[int(idx[k])]  # (T, H, W, C)
+        np.testing.assert_array_equal(
+            np.asarray(imgs[k]), s.x[:, ys[k] : ys[k] + 32, xs[k] : xs[k] + 32]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lbls[k]), s.y[ys[k] : ys[k] + 32, xs[k] : xs[k] + 32]
+        )
+
+
+def test_sharded_gather_multitemporal(t3_fixture):
+    from s2tpu.data.device_corpus import sharded_gather
+
+    src = TiffSource("small", "osm-multiclass", data_dir=t3_fixture, n_time_frames=3)
+    mesh = mesh_lib.make_mesh(2)
+    dc = DeviceCorpus(src, mesh=mesh, shard=True)
+    assert dc.sharded and dc.images.ndim == 5
+    gather = sharded_gather(mesh, crop=32)
+    idx = np.array([0, 1, 0, 2], np.int32)  # local ids -> global {0,1,3,5}
+    ys = np.array([0, 8, 16, 0], np.int32)
+    xs = np.array([4, 0, 8, 32], np.int32)
+    imgs, lbls = jax.jit(gather)(dc.images, dc.labels, idx, ys, xs)
+    assert imgs.shape == (4, 3, 32, 32, 6)
+    for k, g in enumerate([0, 1, 3, 5]):
+        s = src[g]
+        np.testing.assert_array_equal(
+            np.asarray(imgs[k]), s.x[:, ys[k] : ys[k] + 32, xs[k] : xs[k] + 32]
+        )
+
+
+@pytest.mark.slow
+def test_trainer_device_corpus_multitemporal_epoch(t3_fixture):
+    """Full corpus-mode epoch at T=3 (stack-time UNet): the production
+    index-only path now serves multi-temporal composites from HBM."""
+    c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
+    c.datamodule.dataset_cfg.data_dir = t3_fixture
+    c.datamodule.dataset_cfg.n_time_frames = 3
+    c.datamodule.dataset_cfg.stack_time_into_channels = True
+    c.datamodule.batch_size = 2
+    c.datamodule.data_split = (1.0, 0.0, 0.0)
+    c.datamodule.random_crop_size = 64
+    c.train.compute_dtype = "float32"
+    c.train.device_corpus = True
+    dm = Datamodule(c.datamodule)
+    trainer = SegmentationTrainer(c, dm, mesh=mesh_lib.make_mesh(1))
+    assert trainer.corpus.images.ndim == 5
+    m = trainer.run_train_epoch(epoch=0)
+    assert np.isfinite(m["loss"])
+    assert int(trainer.state.step) == 3
+
+
 def test_sample_crop_batch_bounds(rng):
     r = np.random.default_rng(0)
     order = np.arange(10)

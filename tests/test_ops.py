@@ -111,6 +111,43 @@ def test_fused_attention_dense_fwd_and_grads(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
 
 
+def test_fused_fits_vmem_geometry():
+    """VMEM-aware fused-attention routing: the published Prithvi geometries
+    that fit Mosaic's 16 MB scoped-vmem budget stay fused; the T=4 decoder
+    (L=785, D=512 — the bwd kernel's footprint is ~24 MB, the exact OOM
+    Mosaic reported) must route to the streaming flash path."""
+    from s2tpu.ops.flash_attention import fused_fits_vmem
+
+    assert fused_fits_vmem(197, 512, 16)  # T=1 decoder
+    assert fused_fits_vmem(197, 768, 12)  # T=4 masked encoder
+    assert fused_fits_vmem(393, 512, 16)  # T=2 decoder
+    assert not fused_fits_vmem(785, 512, 16)  # T=4 decoder -> flash
+    assert not fused_fits_vmem(1024, 768, 12)
+
+
+def test_fused_routing_vmem_fallback_matches_xla(rng):
+    """At a geometry the fused kernel cannot hold in VMEM (L=589 under the
+    test-sized budget check we emulate with the real one: use L>=512 so the
+    flash path is taken), impl='fused' must still produce XLA-equal output
+    through the flash fallback inside Attention."""
+    from s2tpu.models.prithvi_mae import Attention
+    from s2tpu.ops.flash_attention import fused_fits_vmem
+
+    b, l, h, dh = 1, 785, 16, 32
+    dim = h * dh
+    assert not fused_fits_vmem(l, dim, h)
+    x = jnp.asarray(rng.normal(size=(b, l, dim)).astype(np.float32))
+    fused = Attention(dim=dim, num_heads=h, impl="fused")
+    xla = Attention(dim=dim, num_heads=h, impl="xla")
+    params = fused.init(jax.random.key(0), x)
+    out_f = fused.apply(params, x)
+    out_x = xla.apply(params, x)  # identical param tree (Dense qkv/proj)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=2e-3, atol=2e-3)
+    # grads flow through the flash custom-VJP fallback
+    g = jax.grad(lambda p: fused.apply(p, x).sum())(params)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree_util.tree_leaves(g))
+
+
 @pytest.mark.slow
 def test_fused_attention_in_prithvi_block(rng):
     """attention_impl='fused' must reproduce the 'xla' forward through a full
