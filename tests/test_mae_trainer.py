@@ -243,6 +243,48 @@ def test_mae_device_corpus_epoch(fixture_dir):
     assert np.isfinite(m2["loss"])
 
 
+def test_mae_device_corpus_multitemporal_epoch(tmp_path):
+    """MAE device corpus at T=2: the unlabeled corpus uploads as
+    (N, T, H, W, C) and the in-jit gather crops every frame of a sample at
+    the same offsets (tubelet time folding consumes the stack)."""
+    from s2tpu.data.dataset import make_synthetic_fixture
+
+    make_synthetic_fixture(
+        tmp_path, aoi="small", label_map="osm-multiclass", n_segments=6,
+        n_time=2, size=(64, 64),
+    )
+    import dataclasses
+
+    tiny_t2 = dataclasses.replace(TINY, num_frames=2)
+    c = mae_cfg.base_config(aoi="small")
+    c.datamodule.dataset_cfg.data_dir = str(tmp_path)
+    c.datamodule.batch_size = 2
+    c.datamodule.random_crop_size = 32
+    c.datamodule.data_split = (1.0, 0.0, 0.0)
+    c.train.from_scratch = True
+    c.train.device_corpus = True
+    source = TiffSource(
+        "small", "osm-multiclass", data_dir=tmp_path, require_labels=False, n_time_frames=2
+    )
+    dm = Datamodule(
+        DatamoduleConfig(
+            dataset_cfg=DatasetConfig(
+                aoi="small", label_map="osm-multiclass", data_dir=str(tmp_path),
+                n_time_frames=2,
+            ),
+            batch_size=2,
+            data_split=(1.0, 0.0, 0.0),
+            random_crop_size=32,
+        ),
+        source=source,
+    )
+    trainer = MAETrainer(c, dm, mesh=mesh_lib.make_mesh(1), model_config=tiny_t2)
+    assert trainer.corpus is not None and trainer.corpus.images.ndim == 5
+    m = trainer.run_train_epoch(epoch=0)
+    assert np.isfinite(m["loss"])
+    assert int(trainer.state.step) == 3
+
+
 def test_mae_sharded_device_corpus_epoch(fixture_dir):
     """MAE sharded device corpus: the unlabeled corpus sharded over 'data',
     shard-local image gathers, per-shard epoch orders (VERDICT r2 item #4b)."""
