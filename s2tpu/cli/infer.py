@@ -123,8 +123,15 @@ def main(argv: list[str] | None = None) -> None:
                     if hasattr(dm.source, "label_index_for")
                     else int(i)
                 )
-                raw, geo = read_geotiff(dm.source.sentinel_files[int(i)])
-                imgs.append(np.ascontiguousarray(raw.transpose(1, 2, 0)))
+                if hasattr(dm.source, "read_with_geo"):
+                    # (H, W, C) single-frame or (T, H, W, C) multi-temporal —
+                    # the tiled program crops every frame at the same (y, x)
+                    # and predict_step collapses T (tubelets / stack-time).
+                    img, geo = dm.source.read_with_geo(int(i))
+                else:
+                    raw, geo = read_geotiff(dm.source.sentinel_files[int(i)])
+                    img = np.ascontiguousarray(raw.transpose(1, 2, 0))
+                imgs.append(img)
                 geos.append(geo)
                 seg_ids.append(seg_id)
             # pad the group to a fixed size so one program shape serves all calls

@@ -101,6 +101,22 @@ class TiffSource(SegmentSource):
         img, _ = self._read(path)  # (C, H, W)
         return np.ascontiguousarray(img.transpose(1, 2, 0))
 
+    def read_with_geo(self, idx: int):
+        """Full raster + georeferencing for serving (cli/infer --tiled).
+
+        Returns ((H, W, C) or (T, H, W, C) int16, GeoInfo of the first
+        frame — all frames of a segment share one grid by the acquisition
+        contract (<segment>_<t>.tif)."""
+        if self.n_time_frames > 1:
+            _, paths = self._groups[idx]
+            frames = [self._read(p) for p in paths[: self.n_time_frames]]
+            img = np.stack(
+                [np.ascontiguousarray(f[0].transpose(1, 2, 0)) for f in frames]
+            )
+            return img, frames[0][1]
+        img, geo = self._read(self.sentinel_files[idx])
+        return np.ascontiguousarray(img.transpose(1, 2, 0)), geo
+
     def __getitem__(self, idx: int) -> Sample:
         if self.n_time_frames > 1:
             _, paths = self._groups[idx]

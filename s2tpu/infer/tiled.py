@@ -48,13 +48,16 @@ def _tiled_logits_impl(
     num_classes: int,
     batch_size: int,
 ) -> jax.Array:
-    """(N, H, W, C) rasters -> (N, H, W, K) Hann-blended logits.
+    """(N, H, W, C) or (N, T, H, W, C) rasters -> (N, H, W, K) blended logits.
 
     Tiles from ALL images form one flat work queue consumed in
     ``batch_size`` chunks, so per-call dispatch and transfer overheads
-    amortize across segments.
+    amortize across segments. Multi-temporal stacks crop every frame at the
+    same (y, x) — ``predict_fn`` sees (B, T, tile, tile, C) and collapses T
+    itself (ViT tubelets or stack-time channel folding; trainer._model_input).
     """
-    n, h, w, _ = images.shape
+    n = images.shape[0]
+    h, w = images.shape[-3], images.shape[-2]
     ys = tile_offsets(h, tile, stride)
     xs = tile_offsets(w, tile, stride)
     # (img, y, x) triples for every tile of every image
@@ -68,8 +71,14 @@ def _tiled_logits_impl(
     window = jnp.asarray(hann_window(tile))
 
     def gather(c):
+        if images.ndim == 5:  # (N, T, H, W, C): same spatial crop in every frame
+            return jax.lax.dynamic_slice(
+                images,
+                (c[0], 0, c[1], c[2], 0),
+                (1, images.shape[1], tile, tile, images.shape[-1]),
+            )[0]
         return jax.lax.dynamic_slice(
-            images, (c[0], c[1], c[2], 0), (1, tile, tile, images.shape[3])
+            images, (c[0], c[1], c[2], 0), (1, tile, tile, images.shape[-1])
         )[0]
 
     acc = jnp.zeros((n, h, w, num_classes), jnp.float32)
@@ -184,9 +193,9 @@ def tiled_predict(
     batch_size: int = 8,
     return_logits: bool = False,
 ) -> tuple[np.ndarray, np.ndarray | None]:
-    """Predict a full (H, W, C) raster -> (class_map (H, W) uint8, logits?).
+    """Predict a full (H, W, C) or (T, H, W, C) raster -> (class_map, logits?).
 
-    ``predict_fn(state, tiles)`` maps (B, tile, tile, C) raw-DN tiles to
+    ``predict_fn(state, tiles)`` maps (B, [T,] tile, tile, C) raw-DN tiles to
     (B, tile, tile, K) logits (e.g. SegmentationTrainer.predict_step).
 
     The blended logits stay on device unless ``return_logits`` — the argmax
@@ -213,7 +222,7 @@ def tiled_predict_many(
     mesh=None,
     data_axis: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None]:
-    """Batched tiled prediction over (N, H, W, C) rasters.
+    """Batched tiled prediction over (N, H, W, C) or (N, T, H, W, C) rasters.
 
     Tiles from all N segments share one prediction queue — use this for
     whole-AOI inference so fixed per-call costs amortize. ``aot_cache``

@@ -46,6 +46,42 @@ def test_tiled_predict_constant_model():
     np.testing.assert_allclose(logits[..., 0], expected, rtol=1e-4, atol=1e-3)
 
 
+def test_tiled_predict_multitemporal():
+    """(T, H, W, C) stacks: every frame cropped at the same (y, x); the
+    blended logits must reproduce the per-pixel frame-mean exactly, and a
+    T=1 stack must match the 4D single-frame path bit-for-bit."""
+
+    def predict_fn(state, tiles):  # (B, T, t, t, C) -> (B, t, t, K)
+        base = tiles.astype(jnp.float32).mean(axis=(1, -1), keepdims=False)
+        return base[..., None] + jnp.arange(3, dtype=jnp.float32)[None, None, None, :]
+
+    rng = np.random.default_rng(2)
+    stack = rng.integers(0, 100, size=(2, 96, 96, 2)).astype(np.int16)  # T=2
+    class_map, logits = tiled_predict(
+        predict_fn, None, stack, num_classes=3, tile=32, overlap=8,
+        batch_size=4, return_logits=True,
+    )
+    assert class_map.shape == (96, 96)
+    np.testing.assert_array_equal(class_map, 2)
+    expected = stack.astype(np.float32).mean(axis=(0, -1))
+    np.testing.assert_allclose(logits[..., 0], expected, rtol=1e-4, atol=1e-3)
+
+    # T=1 stack == plain (H, W, C) image through the 4D kernel
+    def predict_fn_4d(state, tiles):
+        base = tiles.astype(jnp.float32).mean(axis=-1, keepdims=True)
+        return base + jnp.arange(3, dtype=jnp.float32)[None, None, None, :]
+
+    _, lg_t1 = tiled_predict(
+        predict_fn, None, stack[:1], num_classes=3, tile=32, overlap=8,
+        batch_size=4, return_logits=True,
+    )
+    _, lg_4d = tiled_predict(
+        predict_fn_4d, None, stack[0], num_classes=3, tile=32, overlap=8,
+        batch_size=4, return_logits=True,
+    )
+    np.testing.assert_array_equal(lg_t1, lg_4d)
+
+
 def test_tiled_predict_covers_edges():
     """Every pixel receives weight even with non-divisible tiling."""
 
