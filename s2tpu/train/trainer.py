@@ -1108,6 +1108,21 @@ class SegmentationTrainer:
                 **{f"train/{k}": v for k, v in train_metrics.items() if np.isscalar(v)},
                 **{f"val/{k}": v for k, v in val_metrics.items() if np.isscalar(v)},
             }
+            # Per-class val IoU as named scalars (the reference exposes class
+            # breakdown only through the confusion-matrix image; NaN = class
+            # absent from this epoch's val labels, skipped).
+            pci = val_metrics.get("per_class_iou")
+            if pci is not None:
+                from s2tpu.configs.data_config import LABEL_MAPS
+
+                names = LABEL_MAPS[cfg.datamodule.dataset_cfg.label_map].class_names
+                record.update(
+                    {
+                        f"val/iou_{names[k] if k < len(names) else k}": float(v)
+                        for k, v in enumerate(np.asarray(pci, np.float64))
+                        if np.isfinite(v)
+                    }
+                )
             history.append(record)
             logger.info(
                 f"epoch {epoch}: train loss {train_metrics.get('loss', float('nan')):.4f} "

@@ -52,6 +52,10 @@ def test_history_contains_metrics(overfit_run):
     for key in ["train/loss", "train/iou", "train/accuracy", "train/f1", "val/loss", "val/iou"]:
         assert key in history[0], f"missing {key}"
     assert history[0]["train/images_per_sec"] > 0
+    # per-class val IoU as named scalars (finite classes only)
+    per_class = {k: v for k, v in history[0].items() if k.startswith("val/iou_")}
+    assert per_class, f"no per-class val IoU keys in {sorted(history[0])}"
+    assert all(np.isfinite(v) and 0.0 <= v <= 1.0 for v in per_class.values())
 
 
 def test_predict_step(overfit_run):
