@@ -57,6 +57,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 CROP = int(os.environ.get("BENCH_CROP", "224"))
 MODEL = os.environ.get("BENCH_MODEL", "efficientnet-unet-b5")
 MODE = os.environ.get("BENCH_MODE", "both")
+if MODE not in ("both", "corpus", "streamed"):
+    # A typo must not silently drop a measurement mode (the exact failure
+    # VERDICT r3 #2 exists to prevent).
+    raise SystemExit(f"bad BENCH_MODE={MODE!r}: use both|corpus|streamed")
 K = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))  # corpus mode
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "4"))  # timed fused windows
 STEPS = 20  # streamed mode
@@ -214,7 +218,16 @@ def main() -> None:
             print(f"bench: corpus mode failed ({type(e).__name__}: {e}); "
                   "falling back to streamed", file=sys.stderr)
     if MODE in ("both", "streamed") or corpus_ips is None:
-        streamed_ips, streamed_mfu = run_streamed(cfg_lib, dm, mesh, rng)
+        # Same guard as the corpus leg: a streamed failure must not discard
+        # an already-measured corpus headline (unless streamed was the only
+        # mode left, in which case there is nothing to report and we raise).
+        try:
+            streamed_ips, streamed_mfu = run_streamed(cfg_lib, dm, mesh, rng)
+        except Exception as e:  # noqa: BLE001 — never zero out the bench record
+            if corpus_ips is None:
+                raise
+            print(f"bench: streamed mode failed ({type(e).__name__}: {e}); "
+                  "reporting corpus only", file=sys.stderr)
 
     headline = corpus_ips if corpus_ips is not None else streamed_ips
     record = {

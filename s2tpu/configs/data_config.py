@@ -65,6 +65,21 @@ def parse_bands(spec: "str | list[str]") -> list[str]:
     if not bands:
         raise ValueError("empty band list")
     return bands
+
+
+class BandsMixin:
+    """Shared band-set handling for dataset configs (segmentation + MAE):
+    parse the ``bands`` spec at construction, lazily re-parse after a
+    post-init mutation with a set name, and derive ``in_channels``."""
+
+    def __post_init__(self) -> None:
+        self.bands = parse_bands(self.bands)
+
+    @property
+    def in_channels(self) -> int:
+        if isinstance(self.bands, str):  # post-init mutation with a set name
+            self.bands = parse_bands(self.bands)
+        return len(self.bands)
 EPSG_WGS84: int = 4326
 TIME_INTERVAL: tuple[str, str] = ("2020-01-01", "2021-01-01")
 SEGMENT_SIZE: tuple[int, int] = (512, 512)  # pixels per segment side

@@ -14,6 +14,8 @@ from dataclasses import dataclass, field
 
 import jax
 
+from s2tpu.configs.data_config import BandsMixin
+
 
 class MAELRSchedulerType(str, enum.Enum):
     STEP = "step"
@@ -21,29 +23,17 @@ class MAELRSchedulerType(str, enum.Enum):
 
 
 @dataclass
-class MAEDatasetConfig:
+class MAEDatasetConfig(BandsMixin):
     aoi: str
     n_time_frames: int = 1
     data_dir: str | None = None
     # Spectral band set (see segmentation.DatasetConfig.bands): a BAND_SETS
-    # name, comma list, or explicit list. Non-6-band sets train from scratch
-    # (the published Prithvi_100M.pt patch embed is 6-band) and normalize
-    # with dataset Welford statistics instead of the published Prithvi
-    # mean/std.
+    # name, comma list, or explicit list. Any set other than the Prithvi-HLS
+    # six trains from scratch (the published Prithvi_100M.pt patch embed
+    # belongs to those bands specifically) and normalizes with dataset
+    # Welford statistics instead of the published Prithvi mean/std.
+    # __post_init__ (band parsing) + in_channels come from BandsMixin.
     bands: "list[str] | str" = "default"
-
-    def __post_init__(self) -> None:
-        from s2tpu.configs.data_config import parse_bands
-
-        self.bands = parse_bands(self.bands)
-
-    @property
-    def in_channels(self) -> int:
-        if isinstance(self.bands, str):  # post-init mutation with a set name
-            from s2tpu.configs.data_config import parse_bands
-
-            self.bands = parse_bands(self.bands)
-        return len(self.bands)
 
 
 @dataclass

@@ -13,7 +13,7 @@ import enum
 import typing
 from dataclasses import dataclass, field
 
-from s2tpu.configs.data_config import BANDS, LABEL_MAPS
+from s2tpu.configs.data_config import BANDS, LABEL_MAPS, BandsMixin
 
 
 class ModelName(str, enum.Enum):
@@ -41,7 +41,7 @@ class LRSchedulerType(str, enum.Enum):
 
 
 @dataclass
-class DatasetConfig:
+class DatasetConfig(BandsMixin):
     aoi: str
     label_map: str
     n_time_frames: int = 1
@@ -58,19 +58,7 @@ class DatasetConfig:
     # the model — (B, T, H, W, C) -> (B, H, W, T*C), frame-major channel
     # order. The ViT consumes T natively (tubelet); this is the UNet path.
     stack_time_into_channels: bool = False
-
-    def __post_init__(self) -> None:
-        from s2tpu.configs.data_config import parse_bands
-
-        self.bands = parse_bands(self.bands)
-
-    @property
-    def in_channels(self) -> int:
-        if isinstance(self.bands, str):  # post-init mutation with a set name
-            from s2tpu.configs.data_config import parse_bands
-
-            self.bands = parse_bands(self.bands)
-        return len(self.bands)
+    # __post_init__ (band parsing) + in_channels come from BandsMixin.
 
 
 @dataclass

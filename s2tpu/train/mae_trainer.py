@@ -76,11 +76,18 @@ class MAETrainer:
         self.model = PrithviMAE(model_config, dtype=dtype)
         self.model_config = model_config
 
-        if model_config.in_chans == 6:
+        from s2tpu.configs.data_config import BANDS as PRITHVI_BANDS
+        from s2tpu.configs.data_config import parse_bands
+
+        cfg_bands = parse_bands(
+            getattr(config.datamodule.dataset_cfg, "bands", PRITHVI_BANDS)
+        )
+        if cfg_bands == list(PRITHVI_BANDS):
             mean, std = load_prithvi_mean_std()  # published Prithvi normalization
         else:
-            # Non-6-band pretrain (e.g. --bands all12): the published stats
-            # do not apply — use dataset Welford statistics.
+            # Any other band set — including 6-band sets that are NOT the
+            # Prithvi-HLS six (band IDENTITY, not count, is what the
+            # published statistics belong to): use dataset Welford stats.
             mean, std = datamodule.mean_std()
             assert len(mean) == model_config.in_chans, (
                 f"dataset statistics carry {len(mean)} channels but the model expects "

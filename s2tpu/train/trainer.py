@@ -32,7 +32,13 @@ from s2tpu.parallel import mesh as mesh_lib
 from s2tpu.train import metrics as metrics_lib
 from s2tpu.train.losses import make_loss_fn
 from s2tpu.train.schedules import build_schedule
-from s2tpu.train.train_state import TrainState, cast_floats, make_optimizer, with_f32_master
+from s2tpu.train.train_state import (
+    MasterState,
+    TrainState,
+    cast_floats,
+    make_optimizer,
+    with_f32_master,
+)
 from s2tpu.utils import get_logger, get_unique_run_name
 
 logger = get_logger(__name__)
@@ -374,17 +380,25 @@ class SegmentationTrainer:
             )
             logger.info(f"Loaded MAE-pretrained backbone from {self.config.train.backbone_ckpt}")
             return params
-        in_ch = self.config.datamodule.dataset_cfg.in_channels
-        if in_ch != 6:
-            # The published Prithvi_100M.pt patch embed is 6-band; rejecting
-            # here (not on a tensor-shape mismatch deep in the converter)
-            # keeps non-6-band runs well-defined: random init, or an s2tpu
-            # MAE pretrain with matching bands via --backbone-ckpt.
+        from s2tpu.configs.data_config import BANDS as PRITHVI_BANDS
+        from s2tpu.configs.data_config import parse_bands
+
+        ds_cfg = self.config.datamodule.dataset_cfg
+        cfg_bands = parse_bands(getattr(ds_cfg, "bands", PRITHVI_BANDS))
+        if cfg_bands != list(PRITHVI_BANDS):
+            # The published Prithvi_100M.pt patch embed belongs to the six
+            # Prithvi-HLS bands specifically — band IDENTITY, not count: a
+            # custom 6-band set (e.g. B02..B07) must not silently load
+            # weights trained on different spectra. Rejecting here (not on a
+            # tensor-shape mismatch deep in the converter) keeps such runs
+            # well-defined: random init, or an s2tpu MAE pretrain with
+            # matching bands via --backbone-ckpt.
             msg = (
-                f"fc-prithvi with in_channels={in_ch}: the published Prithvi_100M.pt "
-                "is a 6-band model and cannot initialize this backbone — the encoder "
-                "starts from random init (pretrain with cli.train_mae on the same band "
-                "set and pass --backbone-ckpt for a matched encoder)."
+                f"fc-prithvi with bands={cfg_bands}: the published Prithvi_100M.pt "
+                f"is trained on {list(PRITHVI_BANDS)} and cannot initialize this "
+                "backbone — the encoder starts from random init (pretrain with "
+                "cli.train_mae on the same band set and pass --backbone-ckpt for "
+                "a matched encoder)."
             )
             if self.model.config.frozen_backbone:
                 logger.warning(msg + " The backbone is FROZEN — unfreeze it or this head "
@@ -651,6 +665,14 @@ class SegmentationTrainer:
         # jit propagates the params' shardings into the moment trees, so this
         # is correct under replicated DP and FSDP alike.
         opt_state = jax.jit(self.tx.init)(self.state.params)
+        if self._mixed_params and isinstance(self.state.opt_state, MasterState):
+            # init() derived the new f32 master from the bf16 WORKING params,
+            # which would quantize away the sub-bf16 residuals the head
+            # accumulated in its phase-1 master. Carry the exact old master
+            # over; only the moments start fresh (as intended).
+            opt_state = MasterState(
+                master=self.state.opt_state.master, inner=opt_state.inner
+            )
         self.state = TrainState(
             step=self.state.step,
             params=self.state.params,

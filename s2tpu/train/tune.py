@@ -138,7 +138,9 @@ def _sample_trial_optuna(optuna_trial, space: SearchSpace) -> dict:
 
 
 def asha_rungs(max_epochs: int, eta: int = 2) -> list[int]:
-    """Cumulative epoch budgets [ceil(R/eta^k) ... R], smallest first."""
+    """Cumulative epoch budgets [floor(R/eta^k) ... R], smallest first
+    (e.g. R=5, eta=2 -> [1, 2, 5]); the k-th halving floors, so the first
+    pruning decision happens as early as possible."""
     rungs, budget = [], max_epochs
     while budget >= 1:
         rungs.append(int(budget))

@@ -188,7 +188,15 @@ def main() -> None:
         if out_prev.exists():
             prev = json.loads(out_prev.read_text())
             for r in prev if isinstance(prev, list) else [prev]:
-                if r.get("model") == "fc-prithvi-backbone" and r.get("pipeline", "").startswith("s2tpu MAE"):
+                # Same identity key as the dedup below: bands/time-frames
+                # must match, or a rerun could inherit pretrain stats from
+                # a different configuration's record.
+                if (
+                    r.get("model") == "fc-prithvi-backbone"
+                    and r.get("pipeline", "").startswith("s2tpu MAE")
+                    and r.get("bands", "default") == args.bands
+                    and r.get("n_time_frames", 1) == args.time_frames
+                ):
                     mae_stats = {
                         k: r[k] for k in ("mae_final_train_loss", "mae_pretrain_s") if k in r
                     }
@@ -197,7 +205,10 @@ def main() -> None:
     record = {
         "model": "fc-prithvi-backbone",
         "label_map": label_map,
-        "dataset": f"synthetic {label_map} seed0 n={args.segments} 256^2 (deterministic)",
+        "dataset": (
+            f"synthetic {label_map} seed0 n={args.segments} "
+            f"{args.seg_size}^2 (deterministic)"
+        ),
         "pipeline": "s2tpu MAE pretrain (from scratch) -> frozen-backbone finetune",
         **({"bands": args.bands} if args.bands != "default" else {}),
         **({"n_time_frames": args.time_frames} if args.time_frames != 1 else {}),

@@ -111,6 +111,9 @@ def main() -> None:
     # Short run: pool exact BN stats before each val pass (the encoder's
     # 0.99 BN EMA needs hundreds of steps to converge on its own).
     config.train.bn_recalibration_batches = 3
+    # Re-validate invariants that depend on the mutations above (UNet T>1
+    # needs stack-time; squeeze_time_dim) — same as cli/train_segmentation.
+    config.__post_init__()
 
     source = TiffSource(
         "small", args.label_map, data_dir=tmp, n_time_frames=args.time_frames

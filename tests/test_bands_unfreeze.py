@@ -145,9 +145,70 @@ def test_prithvi_12band_skips_published_weights(fixture12, caplog):
     dm = Datamodule(cfg.datamodule, source=src)
     with caplog.at_level(logging.WARNING):
         trainer = SegmentationTrainer(cfg, dm, mesh=mesh_lib.make_mesh(1))
-    assert any("6-band model" in r.message for r in caplog.records)
+    assert any("cannot initialize this" in r.message for r in caplog.records)
     pe = trainer.state.params["backbone"]["patch_proj"]["kernel"]
     assert pe.shape[0] == 1 * 16 * 16 * 12  # flattened (t, h, w, C_in)
+
+
+def test_prithvi_custom_6band_set_skips_published_weights(fixture_dir, caplog, monkeypatch):
+    """Band IDENTITY, not count, gates the published Prithvi_100M.pt: a
+    custom 6-band set (B02..B07) must not silently load weights trained on
+    the Prithvi-HLS six (B02,B03,B04,B8A,B11,B12)."""
+    import logging
+
+    monkeypatch.setattr(cfg_lib.Config, "build_model", _tiny_build_model)
+    cfg = _tiny_prithvi_config(fixture_dir)
+    cfg.datamodule.dataset_cfg.bands = parse_bands("B02,B03,B04,B05,B06,B07")
+    src = TiffSource("small", "osm-multiclass", data_dir=str(fixture_dir))
+    dm = Datamodule(cfg.datamodule, source=src)
+    with caplog.at_level(logging.WARNING):
+        SegmentationTrainer(cfg, dm, mesh=mesh_lib.make_mesh(1))
+    assert any("cannot initialize this" in r.message for r in caplog.records)
+
+
+def test_mae_custom_6band_set_uses_dataset_stats(fixture_dir):
+    """The published Prithvi mean/std belong to the HLS six specifically: a
+    custom 6-band MAE pretrain must normalize with dataset statistics."""
+    from s2tpu.configs import mae as mae_cfg
+    from s2tpu.models.prithvi_mae import PrithviConfig
+    from s2tpu.train.mae_trainer import MAETrainer
+
+    tiny = PrithviConfig(
+        img_size=32, patch_size=8, num_frames=1, tubelet_size=1, in_chans=6,
+        embed_dim=64, depth=1, num_heads=4, decoder_embed_dim=48,
+        decoder_depth=1, decoder_num_heads=4,
+    )
+    c = mae_cfg.base_config(aoi="small")
+    c.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c.datamodule.dataset_cfg.bands = "B02,B03,B04,B05,B06,B07"  # NOT the HLS six
+    c.datamodule.batch_size = 2
+    c.datamodule.random_crop_size = 32
+    c.train.from_scratch = True
+    src = TiffSource("small", "osm-multiclass", data_dir=str(fixture_dir), require_labels=False)
+    dm = Datamodule(
+        cfg_lib.DatamoduleConfig(
+            dataset_cfg=cfg_lib.DatasetConfig(
+                aoi="small", label_map="osm-multiclass", data_dir=str(fixture_dir)
+            ),
+            batch_size=2, data_split=(1.0, 0.0, 0.0), random_crop_size=32,
+        ),
+        source=src,
+    )
+    dm.set_mean_std(np.full(6, 111.0, np.float32), np.full(6, 7.0, np.float32))
+    trainer = MAETrainer(c, dm, mesh=mesh_lib.make_mesh(1), model_config=tiny)
+    np.testing.assert_allclose(np.asarray(trainer.mean), 111.0)
+
+    # The default (HLS six) band set keeps the published normalization.
+    from s2tpu.utils import load_prithvi_mean_std
+
+    c2 = mae_cfg.base_config(aoi="small")
+    c2.datamodule.dataset_cfg.data_dir = str(fixture_dir)
+    c2.datamodule.batch_size = 2
+    c2.datamodule.random_crop_size = 32
+    c2.train.from_scratch = True
+    trainer2 = MAETrainer(c2, dm, mesh=mesh_lib.make_mesh(1), model_config=tiny)
+    pub_mean, _ = load_prithvi_mean_std()
+    np.testing.assert_allclose(np.asarray(trainer2.mean), np.asarray(pub_mean))
 
 
 # -------------------------------------------------------------- unfreeze ----
@@ -238,6 +299,40 @@ def test_unfreeze_transition_mid_fit(fixture_dir, monkeypatch):
     # step counter carried across the transition (no restart)
     assert int(trainer.state.step) > step0 + 1
     assert all(np.isfinite(h["train/loss"]) for h in history)
+
+
+def test_unfreeze_preserves_f32_master(fixture_dir, monkeypatch):
+    """param_dtype=bfloat16 two-phase: the transition must carry the exact
+    phase-1 f32 master over — re-deriving it from the bf16 working params
+    would quantize away the head's accumulated sub-bf16 residuals."""
+    from s2tpu.train.train_state import MasterState
+
+    monkeypatch.setattr(cfg_lib.Config, "build_model", _tiny_build_model)
+    cfg = _tiny_prithvi_config(
+        fixture_dir, frozen_backbone=True, param_dtype="bfloat16", max_epochs=1
+    )
+    trainer = SegmentationTrainer(cfg, Datamodule(cfg.datamodule), mesh=mesh_lib.make_mesh(1))
+    trainer.fit(epochs=1)  # phase 1: the head's master drifts below bf16
+    assert isinstance(trainer.state.opt_state, MasterState)
+    old_master = jax.device_get(trainer.state.opt_state.master)
+
+    trainer.unfreeze_backbone()
+    new_master = jax.device_get(trainer.state.opt_state.master)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, old_master, new_master)
+    # The carried master differs from the bf16 params upcast — i.e. the
+    # sub-bf16 residuals actually survived (the bug would zero this out).
+    upcast = jax.device_get(
+        jax.tree_util.tree_map(
+            lambda p: np.asarray(p, np.float32), trainer.state.params
+        )
+    )
+    max_diffs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda m, b: float(np.abs(np.asarray(m, np.float32) - b).max()),
+            new_master, upcast,
+        )
+    )
+    assert any(d > 0 for d in max_diffs)
 
 
 @pytest.mark.slow
