@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--epoch", type=int, default=None, help="checkpoint epoch (default: best/latest)")
     p.add_argument("--data-dir", default=None)
     p.add_argument(
+        "--no-ema", action="store_true",
+        help="serve the raw (non-averaged) weights even when the checkpoint "
+        "was trained with train.ema_decay (default: serve the EMA weights, "
+        "matching the val metric the best-epoch selection used)",
+    )
+    p.add_argument(
         "--aot-cache", default=None, metavar="PATH",
         help="serialized-executable artifact for the tiled program: first run "
         "compiles and writes it, later processes deserialize instead of "
@@ -91,6 +97,11 @@ def main(argv: list[str] | None = None) -> None:
     epoch = args.epoch if args.epoch is not None else (ckpt.best_epoch() or ckpt.latest_epoch())
     trainer.state = ckpt.restore(trainer.state, epoch=epoch)
     logger.info(f"Restored checkpoint epoch {epoch}")
+    if config.train.ema_decay is not None and not args.no_ema:
+        # Serve the averaged weights: validation (and therefore best-epoch
+        # selection) ran on them during training (trainer.eval_state).
+        trainer.state = trainer.eval_state()
+        logger.info(f"Serving EMA weights (decay {config.train.ema_decay})")
 
     out_dir = Path(args.out) if args.out else OUT_DIR / Path(args.ckpt_dir).name
     writer = PredictionWriter(out_dir, prefix=f"p{pid}_" if n_proc > 1 else "")

@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tags", nargs="+", default=[])
     p.add_argument("--num-devices", type=int, default=-1)
     p.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
+    p.add_argument(
+        "--ema-decay", type=float, default=None,
+        help="parameter EMA in the optimizer state; val loss + recon images "
+        "use the averaged weights (typical 0.99-0.9999)",
+    )
     p.add_argument("--data-dir", default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--grad-accum", type=int, default=None, help="microbatches per optimizer update")
@@ -112,6 +117,7 @@ def config_from_args(args: argparse.Namespace) -> mae_cfg.MAEConfig:
     t.max_epochs = args.epochs or t.max_epochs
     t.log_interval = args.log_interval or t.log_interval
     t.compute_dtype = args.compute_dtype or t.compute_dtype
+    t.ema_decay = args.ema_decay if args.ema_decay is not None else t.ema_decay
     t.use_wandb_logger = False if args.wandb else t.use_wandb_logger
     t.tags.extend(args.tags)
     t.seed = args.seed if args.seed is not None else t.seed

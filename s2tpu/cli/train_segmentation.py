@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="parameter storage dtype (bfloat16 keeps an f32 master in the optimizer)",
     )
     p.add_argument(
+        "--ema-decay", type=float, default=None,
+        help="maintain a parameter EMA in the optimizer state and run "
+        "validation/serving on the averaged weights (typical 0.99-0.9999)",
+    )
+    p.add_argument(
         "--source", default="auto", choices=["auto", "tiff", "packed", "records"],
         help="input backend: auto picks a packed corpus when one exists",
     )
@@ -188,6 +193,7 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
     )
     t.compute_dtype = args.compute_dtype or t.compute_dtype
     t.param_dtype = args.param_dtype or t.param_dtype
+    t.ema_decay = args.ema_decay if args.ema_decay is not None else t.ema_decay
     t.seed = args.seed if args.seed is not None else t.seed
     t.backbone_ckpt = args.backbone_ckpt or t.backbone_ckpt
     t.frozen_backbone = False if args.unfreeze_backbone else t.frozen_backbone

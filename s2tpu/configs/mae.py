@@ -83,6 +83,10 @@ class MAETrainConfig:
     param_dtype: str = "float32"
     remat: bool = False
     donate_state: bool = True
+    # Parameter EMA in the optimizer state (train_state.with_param_ema):
+    # val reconstruction loss + recon image logging run on the averaged
+    # weights, and downstream finetunes can start from them. None disables.
+    ema_decay: float | None = None
     # Sequential microbatches per optimizer update (exact for the MAE loss:
     # the static keep count makes every microbatch's masked-patch count equal).
     grad_accum_steps: int = 1

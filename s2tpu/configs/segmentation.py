@@ -150,6 +150,14 @@ class TrainConfig:
     # 0.9574 frozen). 1.0 = keep the schedule unchanged.
     unfreeze_lr_scale: float = 1.0
 
+    # Parameter EMA: maintain an exponential moving average of the params
+    # inside the optimizer state (train_state.with_param_ema); validation,
+    # epoch image logging, BN recalibration, and `cli/infer --ema` then run
+    # on the averaged weights (trainer.eval_state). Standard production
+    # smoothing the reference lacks (torch.optim.swa_utils unused there).
+    # None disables; typical values 0.99-0.9999.
+    ema_decay: float | None = None
+
     # Gradient accumulation: split each batch into N sequential microbatches
     # (lax.scan inside the jit'd step) and apply one optimizer update on the
     # averaged gradients. Effective batch stays datamodule.batch_size;

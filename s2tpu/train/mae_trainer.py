@@ -25,7 +25,14 @@ from s2tpu.data.augment import augment_batch
 from s2tpu.data.pipeline import Datamodule, prefetch_to_device
 from s2tpu.models.prithvi_mae import PrithviConfig, PrithviMAE, unpatchify
 from s2tpu.parallel import mesh as mesh_lib
-from s2tpu.train.train_state import TrainState, cast_floats, make_optimizer, with_f32_master
+from s2tpu.train.train_state import (
+    EmaState,
+    TrainState,
+    cast_floats,
+    make_optimizer,
+    with_f32_master,
+    with_param_ema,
+)
 from s2tpu.train.trainer import PreemptionInterrupt, preempt_requested
 from s2tpu.utils import get_logger, get_unique_run_name, load_prithvi_mean_std, load_prithvi_model_args
 
@@ -115,8 +122,29 @@ class MAETrainer:
             self.corpus = DeviceCorpus(
                 datamodule.source, mesh=self.mesh, shard=sharded, with_labels=False
             )
+        self._ema_cast = None  # jitted EMA->working-dtype cast, built lazily
         self.state = self._init_state()
         self._build_steps()
+
+    def _eval_params(self):
+        """Params for validation/reconstruction logging: the EMA (cast to the
+        working dtype) when ``train.ema_decay`` is set, live params otherwise."""
+        opt = self.state.opt_state
+        if not isinstance(opt, EmaState):
+            return self.state.params
+        if self._ema_cast is None:
+            self._ema_cast = jax.jit(
+                lambda ema, params: jax.tree_util.tree_map(
+                    lambda e, p: e.astype(p.dtype), ema, params
+                )
+            )
+        return self._ema_cast(opt.ema, self.state.params)
+
+    def eval_state(self) -> TrainState:
+        """Same structure as ``self.state`` (jitted programs are shared) with
+        EMA params substituted when ``train.ema_decay`` is set."""
+        p = self._eval_params()
+        return self.state if p is self.state.params else self.state.replace(params=p)
 
     def _init_state(self) -> TrainState:
         cfg = self.config
@@ -141,6 +169,9 @@ class MAETrainer:
         self._mixed_params = getattr(cfg.train, "param_dtype", "float32") == "bfloat16"
         if self._mixed_params:
             self.tx = with_f32_master(self.tx)
+        if getattr(cfg.train, "ema_decay", None):
+            # Outermost: the EMA tracks the final post-update params.
+            self.tx = with_param_ema(self.tx, cfg.train.ema_decay)
         opt_state = jax.jit(self.tx.init)(params)
         if self._mixed_params:
             params = cast_floats(params, jnp.bfloat16)
@@ -334,7 +365,8 @@ class MAETrainer:
         )
         x = x[:, None] if x.ndim == 4 else x
         _, pred, _ = self.model.apply(
-            {"params": self.state.params}, x, mask_ratio=self.mask_ratio, mask_rng=jax.random.key(1)
+            {"params": self._eval_params()}, x, mask_ratio=self.mask_ratio,
+            mask_rng=jax.random.key(1),
         )
         mc = self.model_config
         rec = unpatchify(pred, mc.grid_size, mc.patch_size, mc.tubelet_size, mc.in_chans)
@@ -495,9 +527,10 @@ class MAETrainer:
         it = prefetch_to_device(
             self.dm.eval_batches(split), sharding=mesh_lib.data_sharding(self.mesh), depth=2
         )
+        state = self.eval_state()
         for batch in it:
             m = self.eval_step(
-                self.state, batch.images, batch.mask.astype(np.float32), self.base_rng
+                state, batch.images, batch.mask.astype(np.float32), self.base_rng
             )
             w = float(m["weight"])
             total += float(m["loss"]) * w

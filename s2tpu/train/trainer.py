@@ -33,11 +33,13 @@ from s2tpu.train import metrics as metrics_lib
 from s2tpu.train.losses import make_loss_fn
 from s2tpu.train.schedules import build_schedule
 from s2tpu.train.train_state import (
+    EmaState,
     MasterState,
     TrainState,
     cast_floats,
     make_optimizer,
     with_f32_master,
+    with_param_ema,
 )
 from s2tpu.utils import get_logger, get_unique_run_name
 
@@ -269,6 +271,7 @@ class SegmentationTrainer:
                 datamodule.source, mesh=self.mesh, shard=t.device_corpus_sharded
             )
         self._exact_stats = None  # built lazily by recalibrate_bn, then cached
+        self._ema_cast = None  # jitted EMA->working-dtype cast, built lazily
         self._steps_per_dispatch_warned = False
         self._preempt_requested = False  # set by the SIGTERM handler (fit)
         self._skip_batches = 0  # mid-epoch resume: batches to skip (exact replay)
@@ -325,6 +328,10 @@ class SegmentationTrainer:
             # pretrained weights) so the master copy starts exact; the
             # working params are then stored in bf16.
             self.tx = with_f32_master(self.tx)
+        if cfg.train.ema_decay:
+            # Outermost so the EMA tracks the final post-update params (and
+            # with_f32_master's NewParams marker passes through unchanged).
+            self.tx = with_param_ema(self.tx, cfg.train.ema_decay)
         opt_state = jax.jit(self.tx.init)(params)
         if self._mixed_params:
             params = cast_floats(params, jnp.bfloat16)
@@ -662,17 +669,27 @@ class SegmentationTrainer:
         )
         if self._mixed_params:
             self.tx = with_f32_master(self.tx)
+        if cfg.train.ema_decay:
+            self.tx = with_param_ema(self.tx, cfg.train.ema_decay)
         # jit propagates the params' shardings into the moment trees, so this
         # is correct under replicated DP and FSDP alike.
         opt_state = jax.jit(self.tx.init)(self.state.params)
-        if self._mixed_params and isinstance(self.state.opt_state, MasterState):
+        old = self.state.opt_state
+        old_inner = old.inner if isinstance(old, EmaState) else old
+        new_inner = opt_state.inner if isinstance(opt_state, EmaState) else opt_state
+        if self._mixed_params and isinstance(old_inner, MasterState):
             # init() derived the new f32 master from the bf16 WORKING params,
             # which would quantize away the sub-bf16 residuals the head
             # accumulated in its phase-1 master. Carry the exact old master
             # over; only the moments start fresh (as intended).
-            opt_state = MasterState(
-                master=self.state.opt_state.master, inner=opt_state.inner
-            )
+            new_inner = MasterState(master=old_inner.master, inner=new_inner.inner)
+        if isinstance(opt_state, EmaState):
+            # The averaged weights carry across the transition too (the frozen
+            # backbone's EMA equals its params, so this is exact for phase 1).
+            ema = old.ema if isinstance(old, EmaState) else opt_state.ema
+            opt_state = EmaState(ema=ema, inner=new_inner)
+        else:
+            opt_state = new_inner
         self.state = TrainState(
             step=self.state.step,
             params=self.state.params,
@@ -695,6 +712,27 @@ class SegmentationTrainer:
         wi = self.config.train.watch_interval
         return self._watch_enabled and (self._host_step + 1) % wi == 0
 
+    def _eval_params(self):
+        """Params used for validation/prediction: the EMA (cast to the working
+        dtype) when ``train.ema_decay`` is set, the live params otherwise."""
+        opt = self.state.opt_state
+        if not isinstance(opt, EmaState):
+            return self.state.params
+        if self._ema_cast is None:
+            self._ema_cast = jax.jit(
+                lambda ema, params: jax.tree_util.tree_map(
+                    lambda e, p: e.astype(p.dtype), ema, params
+                )
+            )
+        return self._ema_cast(opt.ema, self.state.params)
+
+    def eval_state(self) -> TrainState:
+        """State for validation/prediction/serving (same structure as
+        ``self.state``, so jitted programs are shared): EMA params when
+        ``train.ema_decay`` is set (train_state.with_param_ema)."""
+        p = self._eval_params()
+        return self.state if p is self.state.params else self.state.replace(params=p)
+
     def _predict(self, state: TrainState, images):
         """Raw logits for inference (normalize + forward, no augmentation)."""
         x = normalize(images, self.mean, self.std, dtype=self.compute_dtype, s2d=self._s2d_input)
@@ -715,7 +753,7 @@ class SegmentationTrainer:
                     x,
                 )
             )
-        params = jax.device_get(self.state.params)
+        params = jax.device_get(self._eval_params())
         stats = jax.device_get(self.state.batch_stats)
         return self._local_predict_jit(params, stats, images)
 
@@ -944,9 +982,10 @@ class SegmentationTrainer:
 
         sharding = self._data_sharding()
         out = []
+        params = self._eval_params()  # recal stats must match the eval weights
         for b in itertools.islice(self.dm.train_batches(epoch=0), n_batches):
             images = put_batch(np.asarray(b.images), sharding)
-            stats = self._exact_stats(self.state.params, self.state.batch_stats, images)
+            stats = self._exact_stats(params, self.state.batch_stats, images)
             out.append(jax.device_get(stats))
         return out
 
@@ -982,6 +1021,7 @@ class SegmentationTrainer:
             sample = lambda b: sample_crop_batch(  # noqa: E731
                 rng, order, b, bs, self.corpus.hw, crop, random_crop=True
             )
+        params = self._eval_params()  # recal stats must match the eval weights
         for b in range(n):
             idx, ys, xs = sample(b)
             if multi_proc:
@@ -991,7 +1031,7 @@ class SegmentationTrainer:
                 sharding = mesh_lib.data_sharding(self.mesh)
                 idx, ys, xs = (put_batch(a[sl], sharding) for a in (idx, ys, xs))
             stats = self._exact_stats_indexed(
-                self.state.params, self.state.batch_stats,
+                params, self.state.batch_stats,
                 self.corpus.images, self.corpus.labels, idx, ys, xs,
             )
             out.append(jax.device_get(stats))
@@ -1036,8 +1076,9 @@ class SegmentationTrainer:
         it = prefetch_to_device(
             self.dm.eval_batches(split), sharding=self._data_sharding(), depth=2
         )
+        state = self.eval_state()
         for batch in it:
-            m = self.eval_step(self.state, batch.images, batch.labels, batch.mask.astype(np.float32))
+            m = self.eval_step(state, batch.images, batch.labels, batch.mask.astype(np.float32))
             acc.update(np.asarray(m["cm"]), float(m["loss"]))
         return acc.compute()
 
@@ -1188,7 +1229,7 @@ class SegmentationTrainer:
                 return
             predict = self._host_local_predict
         else:
-            predict = lambda imgs: self.predict_step(self.state, imgs)  # noqa: E731
+            predict = lambda imgs: self.predict_step(self.eval_state(), imgs)  # noqa: E731
         import matplotlib.pyplot as plt
 
         from s2tpu.configs.data_config import LABEL_MAPS
