@@ -23,7 +23,10 @@ finetunes from — the one-command migration path for existing trained runs:
 Reverse migration (train on TPU, serve in an existing torch stack):
 ``export-unet`` writes a reference ``EfficientnetUnet``-strict state dict;
 ``export-prithvi`` writes an s2tpu MAE pretraining run in the published
-``Prithvi_100M.pt`` layout (sincos pos embeds regenerated):
+``Prithvi_100M.pt`` layout (sincos pos embeds regenerated). Runs trained
+with ``--ema-decay`` export the EMA-averaged weights by default — the same
+weights validation/best-epoch selection and ``cli/infer`` serving use
+(``--no-ema`` exports the raw params instead):
 
     python -m s2tpu.cli.convert_weights export-unet ckpts/sentinel-segmentation/<run> \
         --out exported_unet.pt
@@ -137,7 +140,45 @@ def import_reference_checkpoint(
     logger.info(f"Imported reference checkpoint {path} -> {out} (epoch 0)")
 
 
-def export_unet_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None) -> None:
+def _maybe_ema_params(raw: dict, cfg_dict: dict, use_ema: bool):
+    """The param tree a torch export should carry: the EMA average when the
+    run was trained with ``--ema-decay`` (validation/best-epoch selection and
+    `cli/infer` serving use the averaged weights — exporting the raw params
+    would silently ship weights that never produced the reported metrics),
+    the live params otherwise. ``use_ema=False`` (`--no-ema`) opts out.
+
+    The checkpoint stores ``opt_state`` as a flat leaf list
+    (orbax_io._to_saveable); ``with_param_ema`` wraps OUTERMOST
+    (trainer._init_state), and its f32 EMA tree has exactly the params'
+    structure (train_state.EmaState), so the first ``len(leaves(params))``
+    opt-state leaves ARE the EMA tree — recovered here without rebuilding
+    the optimizer.
+    """
+    params = raw["params"]
+    if not use_ema or not (cfg_dict.get("train") or {}).get("ema_decay"):
+        return params, False
+    leaves = raw["opt_state"]
+    if isinstance(leaves, dict):  # orbax may key a restored list by index
+        leaves = [leaves[k] for k in sorted(leaves, key=int)]
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    assert len(leaves) > len(flat_p), (
+        "opt_state too small to contain an EMA tree — checkpoint predates "
+        "--ema-decay support?"
+    )
+    ema = jax.tree_util.tree_unflatten(treedef, list(leaves)[: len(flat_p)])
+    # Structural sanity: every EMA leaf must match its param's shape.
+    jax.tree_util.tree_map(
+        lambda e, p: None if jnp.shape(e) == jnp.shape(p) else (_ for _ in ()).throw(
+            AssertionError(f"EMA leaf shape {jnp.shape(e)} != param {jnp.shape(p)}")
+        ),
+        ema, params,
+    )
+    return ema, True
+
+
+def export_unet_checkpoint(
+    ckpt_dir: str, out: str, epoch: int | None = None, use_ema: bool = True
+) -> None:
     """Trained s2tpu UNet checkpoint dir -> reference ``EfficientnetUnet``
     state dict (.pt, strict-loadable) — the reverse migration path: train on
     TPU, serve in an existing torch stack."""
@@ -154,12 +195,18 @@ def export_unet_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None) ->
     )
     raw = mgr.restore_raw(epoch)
     mgr.close()
-    sd = export_reference_unet_state_dict(raw["params"], raw["batch_stats"])
+    params, is_ema = _maybe_ema_params(raw, cfg, use_ema)
+    sd = export_reference_unet_state_dict(params, raw["batch_stats"])
     torch.save({k: torch.from_numpy(np_v) for k, np_v in sd.items()}, out)
-    logger.info(f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, reference UNet layout)")
+    logger.info(
+        f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, reference UNet layout"
+        f"{', EMA weights' if is_ema else ''})"
+    )
 
 
-def export_prithvi_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None) -> None:
+def export_prithvi_checkpoint(
+    ckpt_dir: str, out: str, epoch: int | None = None, use_ema: bool = True
+) -> None:
     """s2tpu MAE pretraining checkpoint dir -> ``Prithvi_100M.pt``-layout
     state dict, so a TPU pretrain feeds the reference's load_prithvi surgery
     (reference utils.py:62-96) or any torch HLS stack."""
@@ -181,12 +228,18 @@ def export_prithvi_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None)
     )
     raw = mgr.restore_raw(epoch)
     mgr.close()
-    sd = export_prithvi_state_dict(raw["params"], model_config)
+    params, is_ema = _maybe_ema_params(raw, cfg_dict, use_ema)
+    sd = export_prithvi_state_dict(params, model_config)
     torch.save({k: torch.from_numpy(np_v) for k, np_v in sd.items()}, out)
-    logger.info(f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, Prithvi_100M layout)")
+    logger.info(
+        f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, Prithvi_100M layout"
+        f"{', EMA weights' if is_ema else ''})"
+    )
 
 
-def export_prithvi_seg_checkpoint(ckpt_dir: str, out: str, epoch: int | None = None) -> None:
+def export_prithvi_seg_checkpoint(
+    ckpt_dir: str, out: str, epoch: int | None = None, use_ema: bool = True
+) -> None:
     """Trained s2tpu fc-prithvi segmentation checkpoint dir -> reference
     ``PrithviSegmentationNet.state_dict()`` naming (.pt) — backbone pos
     embeds regenerated from the same sincos tables the reference surgery
@@ -207,9 +260,13 @@ def export_prithvi_seg_checkpoint(ckpt_dir: str, out: str, epoch: int | None = N
     backbone_cfg = config.build_model().config.backbone
     raw = mgr.restore_raw(epoch)
     mgr.close()
-    sd = export_reference_prithvi_seg_state_dict(raw["params"], raw["batch_stats"], backbone_cfg)
+    params, is_ema = _maybe_ema_params(raw, cfg_dict, use_ema)
+    sd = export_reference_prithvi_seg_state_dict(params, raw["batch_stats"], backbone_cfg)
     torch.save({k: torch.from_numpy(np_v) for k, np_v in sd.items()}, out)
-    logger.info(f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, reference seg-net layout)")
+    logger.info(
+        f"Exported {ckpt_dir} -> {out} ({len(sd)} tensors, reference seg-net layout"
+        f"{', EMA weights' if is_ema else ''})"
+    )
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -237,17 +294,25 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--labels", default=None, choices=list(LABEL_MAPS), help="import-ckpt: label map")
     p.add_argument("--crop", type=int, default=None, help="import-ckpt: crop/tile size (default 224)")
     p.add_argument("--epoch", type=int, default=None, help="export-*: checkpoint epoch (default latest)")
+    p.add_argument(
+        "--no-ema", action="store_true",
+        help="export-*: export the raw (non-averaged) params even when the run "
+        "was trained with --ema-decay (default exports the EMA — the weights "
+        "validation/serving actually used, matching cli/infer)",
+    )
     args = p.parse_args(argv)
     if args.kind == "prithvi":
         convert_prithvi(args.path, args.out, args.num_frames)
     elif args.kind == "efficientnet":
         convert_efficientnet(args.path, args.out, args.version)
     elif args.kind == "export-unet":
-        export_unet_checkpoint(args.path, args.out, epoch=args.epoch)
+        export_unet_checkpoint(args.path, args.out, epoch=args.epoch, use_ema=not args.no_ema)
     elif args.kind == "export-prithvi":
-        export_prithvi_checkpoint(args.path, args.out, epoch=args.epoch)
+        export_prithvi_checkpoint(args.path, args.out, epoch=args.epoch, use_ema=not args.no_ema)
     elif args.kind == "export-prithvi-seg":
-        export_prithvi_seg_checkpoint(args.path, args.out, epoch=args.epoch)
+        export_prithvi_seg_checkpoint(
+            args.path, args.out, epoch=args.epoch, use_ema=not args.no_ema
+        )
     else:
         if not (args.model and args.aoi and args.labels):
             p.error("import-ckpt requires --model, --aoi and --labels")

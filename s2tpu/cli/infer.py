@@ -97,7 +97,7 @@ def main(argv: list[str] | None = None) -> None:
     epoch = args.epoch if args.epoch is not None else (ckpt.best_epoch() or ckpt.latest_epoch())
     trainer.state = ckpt.restore(trainer.state, epoch=epoch)
     logger.info(f"Restored checkpoint epoch {epoch}")
-    if config.train.ema_decay is not None and not args.no_ema:
+    if config.train.ema_decay and not args.no_ema:  # truthiness matches the trainers' gate
         # Serve the averaged weights: validation (and therefore best-epoch
         # selection) ran on them during training (trainer.eval_state).
         trainer.state = trainer.eval_state()

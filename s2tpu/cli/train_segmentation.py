@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-scheduler", default=None, choices=[t.value for t in cfg_lib.LRSchedulerType])
     p.add_argument("--bs", type=int, default=None, help="global batch size")
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument(
+        "--scale-lr-ref-bs", type=int, default=None, metavar="N",
+        help="linear LR scaling: treat --lr as the base LR at N effective "
+        "samples/step and scale to batch_size*num_devices (the MAE rule "
+        "lr*eff_bs/256, configs/mae.py, ported to segmentation)",
+    )
     p.add_argument("--epochs", type=int, default=None, help="number of epochs")
     p.add_argument("--log-interval", type=int, default=None)
     p.add_argument(
@@ -223,6 +229,9 @@ def config_from_args(args: argparse.Namespace) -> cfg_lib.Config:
         else get_unique_run_name(name=args.name, postfix=t.project_name)
     )
     t.wandb_entity = os.getenv("WANDB_ENTITY")
+    if args.scale_lr_ref_bs:
+        # After batch_size/num_devices are final (the rule reads both).
+        cfg_lib.apply_linear_lr_scaling(config, reference_bs=args.scale_lr_ref_bs)
     # Re-validate: flags above mutate fields (n_time_frames, stack_time,
     # bands) that Config.__post_init__ checked at construction time.
     config.__post_init__()

@@ -152,7 +152,8 @@ class TrainConfig:
 
     # Parameter EMA: maintain an exponential moving average of the params
     # inside the optimizer state (train_state.with_param_ema); validation,
-    # epoch image logging, BN recalibration, and `cli/infer --ema` then run
+    # epoch image logging, BN recalibration, and `cli/infer` (default;
+    # `--no-ema` opts out) then run
     # on the averaged weights (trainer.eval_state). Standard production
     # smoothing the reference lacks (torch.optim.swa_utils unused there).
     # None disables; typical values 0.99-0.9999.
@@ -307,6 +308,31 @@ def base_config(model_name: ModelName | str, aoi: str = "fr", label_map: str = "
 
 
 RunType = typing.Literal["train", "debug", "overfit", "tune"]
+
+
+def effective_batch_size(config: Config) -> int:
+    """Global samples per optimizer step: per-host batch x data-parallel mesh
+    size (``num_devices=-1`` = all visible devices, as the trainer resolves it).
+    ``grad_accum_steps`` does NOT multiply — accumulation splits the same
+    batch into microbatches (TrainConfig.grad_accum_steps)."""
+    import jax
+
+    n = config.train.num_devices
+    if n == -1:
+        n = jax.device_count()
+    return config.datamodule.batch_size * n
+
+
+def apply_linear_lr_scaling(config: Config, reference_bs: int = 32) -> Config:
+    """The MAE linear LR-scaling rule (configs/mae.py:158, reference
+    prithvi_mae_finetune.py:101-118) ported to segmentation: treat
+    ``config.train.lr`` as the base LR at ``reference_bs`` effective samples
+    per step and scale it linearly to the configured effective batch.
+    Large-batch runs (VERDICT r4 #1: the north-star constraint is equal mIoU,
+    not equal batch size) keep per-sample learning progress comparable to the
+    bs=32 anchors this way. Call AFTER batch_size/num_devices are final."""
+    config.train.lr = config.train.lr * effective_batch_size(config) / reference_bs
+    return config
 
 
 def set_run_type(config: Config, run_type: RunType) -> Config:

@@ -133,10 +133,15 @@ class MAETrainer:
         if not isinstance(opt, EmaState):
             return self.state.params
         if self._ema_cast is None:
+            # out_shardings pinned to the params' layout — see the matching
+            # comment in trainer.py::_eval_params (ADVICE r4).
             self._ema_cast = jax.jit(
                 lambda ema, params: jax.tree_util.tree_map(
                     lambda e, p: e.astype(p.dtype), ema, params
-                )
+                ),
+                out_shardings=jax.tree_util.tree_map(
+                    lambda p: p.sharding, self.state.params
+                ),
             )
         return self._ema_cast(opt.ema, self.state.params)
 

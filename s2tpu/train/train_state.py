@@ -72,12 +72,19 @@ def with_param_ema(
             updates.tree if isinstance(updates, NewParams)
             else optax.apply_updates(params, updates)
         )
+        # Under with_f32_master the working params are bf16-quantized copies
+        # of the f32 master; averaging those injects ~2^-8 relative
+        # quantization noise per sample. Accumulate from the master itself
+        # for a quantization-free average (ADVICE r4).
+        ema_src = (
+            inner_state.master if isinstance(inner_state, MasterState) else new_params
+        )
         ema = jax.tree_util.tree_map(
             lambda e, p: (
                 decay * e + (1.0 - decay) * p.astype(e.dtype)
                 if jnp.issubdtype(e.dtype, jnp.floating) else p
             ),
-            state.ema, new_params,
+            state.ema, ema_src,
         )
         return updates, EmaState(ema=ema, inner=inner_state)
 

@@ -698,6 +698,7 @@ class SegmentationTrainer:
         )
         self._exact_stats = None  # BN-recal programs close over the old model
         self._local_predict_jit = None
+        self._ema_cast = None  # re-pin out_shardings to the rebuilt params
         self._build_steps()
 
     def _maybe_unfreeze(self, epoch: int) -> None:
@@ -719,10 +720,17 @@ class SegmentationTrainer:
         if not isinstance(opt, EmaState):
             return self.state.params
         if self._ema_cast is None:
+            # Pin the cast output to the live params' shardings (FSDP: the ema
+            # lives in the opt-state tree, whose propagated layout may differ
+            # from the params') so eval_step never retraces on a layout
+            # mismatch (ADVICE r4).
             self._ema_cast = jax.jit(
                 lambda ema, params: jax.tree_util.tree_map(
                     lambda e, p: e.astype(p.dtype), ema, params
-                )
+                ),
+                out_shardings=jax.tree_util.tree_map(
+                    lambda p: p.sharding, self.state.params
+                ),
             )
         return self._ema_cast(opt.ema, self.state.params)
 

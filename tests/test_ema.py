@@ -56,8 +56,14 @@ def test_with_param_ema_composes_with_f32_master():
     assert isinstance(updates, NewParams), "mixed-precision contract broken"
     new_params = updates.tree
     assert new_params["w"].dtype == jnp.bfloat16
-    expect = 0.5 * 1.0 + 0.5 * np.asarray(new_params["w"], np.float32)
+    # The EMA accumulates from the f32 MASTER (1 - 0.01*1 = 0.99 exactly),
+    # not the bf16-quantized working copy — quantization-free average
+    # (ADVICE r4). bf16(0.99) = 0.98828 would give 0.99414 instead.
+    expect = 0.5 * 1.0 + 0.5 * 0.99
     np.testing.assert_allclose(np.asarray(state.ema["w"]), expect, rtol=1e-6)
+    assert not np.allclose(
+        np.asarray(state.ema["w"]), 0.5 + 0.5 * np.asarray(new_params["w"], np.float32)
+    ), "EMA is averaging the bf16 working params, not the f32 master"
 
 
 # --------------------------------------------------------- trainer wiring ---
@@ -157,6 +163,44 @@ def test_unfreeze_carries_ema(fixture_dir, monkeypatch):
         trainer.state, jnp.asarray(batch.images), jnp.asarray(batch.labels), trainer.base_rng
     )
     assert np.isfinite(float(m["loss"]))
+
+
+def test_export_unet_serves_ema_weights(tmp_path, ema_run):
+    """export-unet on an --ema-decay run exports the EMA (served) weights by
+    default and the raw params under --no-ema (VERDICT r4 #3: the reverse
+    migration must ship the weights that produced the reported metrics)."""
+    import dataclasses
+
+    import torch
+
+    from s2tpu.checkpoint.convert_torch import export_reference_unet_state_dict
+    from s2tpu.checkpoint.orbax_io import CheckpointManager
+    from s2tpu.cli.convert_weights import export_unet_checkpoint
+
+    trainer, _ = ema_run
+    ckpt_dir = tmp_path / "ema_ckpt"
+    mgr = CheckpointManager(ckpt_dir, config_dict=dataclasses.asdict(trainer.config))
+    mgr.save_epoch(0, trainer.state, metrics={"val/loss": 1.0})
+    mgr.wait()
+    mgr.close()
+
+    export_unet_checkpoint(str(ckpt_dir), str(tmp_path / "ema.pt"))
+    export_unet_checkpoint(str(ckpt_dir), str(tmp_path / "raw.pt"), use_ema=False)
+    got_ema = {k: v.numpy() for k, v in torch.load(tmp_path / "ema.pt").items()}
+    got_raw = {k: v.numpy() for k, v in torch.load(tmp_path / "raw.pt").items()}
+
+    stats = jax.device_get(trainer.state.batch_stats)
+    want_ema = export_reference_unet_state_dict(
+        jax.device_get(trainer.state.opt_state.ema), stats
+    )
+    want_raw = export_reference_unet_state_dict(jax.device_get(trainer.state.params), stats)
+    assert set(got_ema) == set(want_ema)
+    for k in want_ema:
+        np.testing.assert_array_equal(got_ema[k], np.asarray(want_ema[k]), err_msg=k)
+        np.testing.assert_array_equal(got_raw[k], np.asarray(want_raw[k]), err_msg=k)
+    assert any(
+        not np.array_equal(got_ema[k], got_raw[k]) for k in got_ema
+    ), "EMA export identical to raw export after training"
 
 
 # ------------------------------------------------------------------- CLIs ---
