@@ -78,6 +78,11 @@ def main() -> None:
         "the ViT folds time via tubelet patch embedding)",
     )
     p.add_argument("--label-map", default="osm-multiclass")
+    p.add_argument(
+        "--difficulty", type=float, default=0.0,
+        help="fixture hardness in [0,1] (see dataset.make_synthetic_fixture) "
+        "— hard anchors land in the regression-sensitive 0.6-0.9 mIoU band",
+    )
     p.add_argument("--crop", type=int, default=224, help="train crop (both stages)")
     p.add_argument("--seg-size", type=int, default=256, help="fixture segment size")
     p.add_argument("--mae-bs", type=int, default=None)
@@ -93,7 +98,7 @@ def main() -> None:
     make_synthetic_fixture(
         tmp, aoi="small", label_map=label_map, n_segments=args.segments,
         size=(args.seg_size, args.seg_size), seed=0, n_bands=len(bands),
-        n_time=args.time_frames,
+        n_time=args.time_frames, difficulty=args.difficulty,
     )
 
     # ---- stage 1: MAE pretrain from scratch on the unlabeled corpus -------
@@ -196,6 +201,7 @@ def main() -> None:
                     and r.get("pipeline", "").startswith("s2tpu MAE")
                     and r.get("bands", "default") == args.bands
                     and r.get("n_time_frames", 1) == args.time_frames
+                    and r.get("difficulty", 0.0) == args.difficulty
                 ):
                     mae_stats = {
                         k: r[k] for k in ("mae_final_train_loss", "mae_pretrain_s") if k in r
@@ -207,9 +213,12 @@ def main() -> None:
         "label_map": label_map,
         "dataset": (
             f"synthetic {label_map} seed0 n={args.segments} "
-            f"{args.seg_size}^2 (deterministic)"
+            f"{args.seg_size}^2 (deterministic"
+            + (f", difficulty={args.difficulty}" if args.difficulty else "")
+            + ")"
         ),
         "pipeline": "s2tpu MAE pretrain (from scratch) -> frozen-backbone finetune",
+        **({"difficulty": args.difficulty} if args.difficulty else {}),
         **({"bands": args.bands} if args.bands != "default" else {}),
         **({"n_time_frames": args.time_frames} if args.time_frames != 1 else {}),
         "mae_epochs": args.mae_epochs,
@@ -239,7 +248,7 @@ def main() -> None:
     existing = existing if isinstance(existing, list) else [existing]
     # Replace only the matching PIPELINE record (train_convergence.py writes
     # pipeline-less records for the same model/map — keep those).
-    key = (record["model"], record["label_map"], args.bands, args.time_frames)
+    key = (record["model"], record["label_map"], args.bands, args.time_frames, args.difficulty)
     existing = [
         r
         for r in existing
@@ -248,6 +257,7 @@ def main() -> None:
             and (
                 r.get("model"), r.get("label_map", "osm-multiclass"),
                 r.get("bands", "default"), r.get("n_time_frames", 1),
+                r.get("difficulty", 0.0),
             ) == key
         )
     ]

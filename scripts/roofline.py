@@ -25,7 +25,8 @@ from s2tpu.models.efficientnet_unet import SCALING, build_block_specs, round_fil
 
 PEAK_FLOPS = 197e12
 PEAK_BW = 819e9
-B = 32
+import os
+B = int(os.environ.get("ROOFLINE_BATCH", "32"))  # per-image bounds are batch-linear; see PERF_NOTES r5
 IN_RES = 224
 BYTES = 2  # bf16 activations
 

@@ -241,16 +241,17 @@ def main() -> None:
         existing = prev if isinstance(prev, list) else [prev]
     key = (
         record["model"], record["label_map"], args.num_devices, args.bands,
-        args.time_frames, args.difficulty, args.bs,
+        args.time_frames, args.difficulty, args.bs, record["dataset"],
     )
     existing = [
         r
         for r in existing
-        if (
+        if "campaign" in r  # tune-campaign records are keyed separately
+        or (
             r.get("model"), r.get("label_map", "osm-multiclass"),
             r.get("mesh", {}).get("data", 1), r.get("bands", "default"),
             r.get("n_time_frames", 1), r.get("difficulty", 0.0),
-            r.get("batch_size"),
+            r.get("batch_size"), r.get("dataset"),
         ) != key
     ]
     existing.append(record)
