@@ -1,12 +1,20 @@
 """Benchmark harness: train images/sec/chip on the flagship config.
 
 Headline config (BASELINE.md): EfficientNet-UNet-B5, 6-band 224x224 crops,
-batch 32, bf16 — the full jit'd train step (on-device augmentation, forward,
-loss, backward, Adam update, confusion-matrix metrics) with donated state,
-i.e. exactly what one chip executes per step in production training.
+bf16 — the full jit'd train step (on-device augmentation, forward, loss,
+backward, Adam update, confusion-matrix metrics) with donated state, i.e.
+exactly what one chip executes per step in production training.
 
-BOTH measurement modes run every round (VERDICT r3 #2 — a mode change must
-never masquerade as a perf change) and land in ONE combined record:
+TWO batch sizes land in ONE record (round 5): the north-star constraint is
+*equal mIoU*, not equal batch size (BASELINE.json north_star; VERDICT r4 #1),
+and MIOU.json carries a converged bs=128 anchor (linear LR scaling,
+512-segment corpus) matching the bs=32 control's mIoU — so the headline
+``value`` is the large-batch production operating point, with the historical
+bs=32 point reported alongside as ``bs32``/``bs32_mfu`` for continuity.
+BENCH_BATCH / BENCH_SECONDARY_BATCH override (secondary 0 disables).
+
+BOTH measurement modes run for the headline batch (VERDICT r3 #2 — a mode
+change must never masquerade as a perf change):
   * ``corpus`` — the production fast path AND the headline ``value``: the
     dataset lives in HBM (``--device-corpus``) and ``--steps-per-dispatch K``
     fuses K full optimizer steps into ONE XLA program (lax.scan over the
@@ -14,26 +22,20 @@ never masquerade as a perf change) and land in ONE combined record:
     per dispatch. This is what a real training run uses; it also amortizes
     this box's axon-relay dispatch latency (~3.8 ms/step wall-device gap,
     PERF_NOTES), which a normal TPU-VM host overlaps anyway.
-  * ``streamed`` — the r1/r2 measurement: one dispatch per optimizer step
-    with the batch already on device (isolates the single-step program);
-    reported under ``"streamed"`` / ``"streamed_mfu"``.
-BENCH_MODE=corpus|streamed restricts the run to one mode (debugging only).
+  * ``streamed`` — one dispatch per optimizer step with the batch already on
+    device; reported under ``"streamed"`` / ``"streamed_mfu"``.
+The secondary batch runs corpus-mode only (it is a continuity datapoint).
+BENCH_MODE=corpus|streamed restricts the headline to one mode (debugging).
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 compares against a conservative estimate of the reference PyTorch stack
 (torch.compile max-autotune, bf16, channels_last) on one A100-80GB for the
 same model/shape: ~230 images/sec. BASELINE.json's target is >=4x that.
 
-packed_early_blocks defaults OFF here, matching the shipped training config
-default (ADVICE r3): the r4 2x2 measurement found the 'dense' variant LOSES
-in both modes on current XLA (corpus 432.8 vs 509.6 off; streamed 428.3 vs
-459.4 off — PERF_NOTES r4), reversing the r3 +3.6% streamed gain. r3's
-apparent corpus regression (431.66) was entirely this bench default, not
-corpus-gather overhead: the isolated gather measures ~0.16 ms/step
-(scripts/bench_gather.py), at its memory bound.
+packed_early_blocks defaults OFF, matching the shipped training config
+(measured LOSS in both modes on current XLA — PERF_NOTES r4).
 
-Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline",
-"mfu", "mode", "streamed"(img/s), "streamed_mfu"}.
+Prints exactly one JSON line.
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REF_A100_IMG_PER_SEC = 230.0  # estimated reference throughput (see docstring)
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+SECONDARY_BATCH = int(os.environ.get("BENCH_SECONDARY_BATCH", "0"))
 CROP = int(os.environ.get("BENCH_CROP", "224"))
 MODEL = os.environ.get("BENCH_MODEL", "efficientnet-unet-b5")
 MODE = os.environ.get("BENCH_MODE", "both")
@@ -101,9 +104,9 @@ def _mfu(lower, n_steps: int, elapsed: float) -> float | None:
     return None
 
 
-def _make_config(cfg_lib):
+def _make_config(cfg_lib, batch: int):
     config = cfg_lib.base_config(MODEL, aoi="at", label_map="osm-multiclass")
-    config.datamodule.batch_size = BATCH
+    config.datamodule.batch_size = batch
     config.datamodule.random_crop_size = CROP
     config.datamodule.data_split = (1.0, 0.0, 0.0)
     config.train.compute_dtype = "bfloat16"
@@ -111,10 +114,10 @@ def _make_config(cfg_lib):
     return config
 
 
-def run_corpus(cfg_lib, dm, mesh, rng) -> tuple[float, float | None]:
+def run_corpus(cfg_lib, dm, mesh, rng, batch: int) -> tuple[float, float | None]:
     from s2tpu.train.trainer import SegmentationTrainer
 
-    config = _make_config(cfg_lib)
+    config = _make_config(cfg_lib, batch)
     config.train.device_corpus = True
     config.train.steps_per_dispatch = K
     trainer = SegmentationTrainer(config, dm, mesh=mesh)
@@ -122,9 +125,9 @@ def run_corpus(cfg_lib, dm, mesh, rng) -> tuple[float, float | None]:
     hw = dm.source.images.shape[1]
 
     def draw_window():
-        idx = rng.integers(0, trainer.corpus.n, size=(K, BATCH)).astype(np.int32)
-        ys = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
-        xs = rng.integers(0, hw - CROP + 1, size=(K, BATCH)).astype(np.int32)
+        idx = rng.integers(0, trainer.corpus.n, size=(K, batch)).astype(np.int32)
+        ys = rng.integers(0, hw - CROP + 1, size=(K, batch)).astype(np.int32)
+        xs = rng.integers(0, hw - CROP + 1, size=(K, batch)).astype(np.int32)
         return idx, ys, xs
 
     def run_window(state):
@@ -148,22 +151,22 @@ def run_corpus(cfg_lib, dm, mesh, rng) -> tuple[float, float | None]:
         *draw_window(), trainer.base_rng,
     )
     lower = lambda: trainer.train_step_indexed_multi.lower(*lower_args)  # noqa: E731
-    return BATCH * n_steps / elapsed, _mfu(lower, n_steps, elapsed)
+    return batch * n_steps / elapsed, _mfu(lower, n_steps, elapsed)
 
 
-def run_streamed(cfg_lib, dm, mesh, rng) -> tuple[float, float | None]:
+def run_streamed(cfg_lib, dm, mesh, rng, batch: int) -> tuple[float, float | None]:
     from s2tpu.parallel import mesh as mesh_lib
     from s2tpu.train.trainer import SegmentationTrainer
 
-    config = _make_config(cfg_lib)
+    config = _make_config(cfg_lib, batch)
     trainer = SegmentationTrainer(config, dm, mesh=mesh)
     state = trainer.state
     images = jax.device_put(
-        rng.integers(0, 4000, size=(BATCH, CROP, CROP, 6), dtype=np.int16),
+        rng.integers(0, 4000, size=(batch, CROP, CROP, 6), dtype=np.int16),
         mesh_lib.data_sharding(mesh),
     )
     labels = jax.device_put(
-        rng.integers(0, 4, size=(BATCH, CROP, CROP)).astype(np.int32),
+        rng.integers(0, 4, size=(batch, CROP, CROP)).astype(np.int32),
         mesh_lib.data_sharding(mesh),
     )
     for _ in range(WARMUP):
@@ -175,7 +178,7 @@ def run_streamed(cfg_lib, dm, mesh, rng) -> tuple[float, float | None]:
     jax.block_until_ready(metrics["loss"])
     elapsed = time.perf_counter() - t0
     lower = lambda: trainer.train_step.lower(state, images, labels, trainer.base_rng)  # noqa: E731
-    return BATCH * STEPS / elapsed, _mfu(lower, STEPS, elapsed)
+    return batch * STEPS / elapsed, _mfu(lower, STEPS, elapsed)
 
 
 def main() -> None:
@@ -201,7 +204,7 @@ def main() -> None:
             return Sample(x=self.images[idx], y=self.labels[idx])
 
     source = SyntheticSource()
-    dm = Datamodule(_make_config(cfg_lib).datamodule, source=source)
+    dm = Datamodule(_make_config(cfg_lib, BATCH).datamodule, source=source)
     dm.set_mean_std(np.full(6, 1500.0, np.float32), np.full(6, 900.0, np.float32))
     mesh = mesh_lib.make_mesh(1)
     rng = np.random.default_rng(1)
@@ -213,7 +216,7 @@ def main() -> None:
         # + state OOM on a smaller part) falls back to the streamed
         # measurement instead of zeroing out the bench record.
         try:
-            corpus_ips, corpus_mfu = run_corpus(cfg_lib, dm, mesh, rng)
+            corpus_ips, corpus_mfu = run_corpus(cfg_lib, dm, mesh, rng, BATCH)
         except Exception as e:  # noqa: BLE001 — never zero out the bench record
             print(f"bench: corpus mode failed ({type(e).__name__}: {e}); "
                   "falling back to streamed", file=sys.stderr)
@@ -222,12 +225,22 @@ def main() -> None:
         # an already-measured corpus headline (unless streamed was the only
         # mode left, in which case there is nothing to report and we raise).
         try:
-            streamed_ips, streamed_mfu = run_streamed(cfg_lib, dm, mesh, rng)
+            streamed_ips, streamed_mfu = run_streamed(cfg_lib, dm, mesh, rng, BATCH)
         except Exception as e:  # noqa: BLE001 — never zero out the bench record
             if corpus_ips is None:
                 raise
             print(f"bench: streamed mode failed ({type(e).__name__}: {e}); "
                   "reporting corpus only", file=sys.stderr)
+
+    sec_ips = sec_mfu = None
+    if SECONDARY_BATCH:
+        # Continuity datapoint at the historical batch — corpus mode only,
+        # and never allowed to break the headline record.
+        try:
+            sec_ips, sec_mfu = run_corpus(cfg_lib, dm, mesh, rng, SECONDARY_BATCH)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: secondary bs={SECONDARY_BATCH} failed "
+                  f"({type(e).__name__}: {e}); omitting", file=sys.stderr)
 
     headline = corpus_ips if corpus_ips is not None else streamed_ips
     record = {
@@ -246,6 +259,10 @@ def main() -> None:
         record["streamed"] = round(streamed_ips, 2)
         if streamed_mfu is not None:
             record["streamed_mfu"] = round(streamed_mfu, 4)
+    if sec_ips is not None:
+        record[f"bs{SECONDARY_BATCH}"] = round(sec_ips, 2)
+        if sec_mfu is not None:
+            record[f"bs{SECONDARY_BATCH}_mfu"] = round(sec_mfu, 4)
     print(json.dumps(record))
 
 
