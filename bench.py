@@ -55,8 +55,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_A100_IMG_PER_SEC = 230.0  # estimated reference throughput (see docstring)
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-SECONDARY_BATCH = int(os.environ.get("BENCH_SECONDARY_BATCH", "0"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+SECONDARY_BATCH = int(os.environ.get("BENCH_SECONDARY_BATCH", "32"))
 CROP = int(os.environ.get("BENCH_CROP", "224"))
 MODEL = os.environ.get("BENCH_MODEL", "efficientnet-unet-b5")
 MODE = os.environ.get("BENCH_MODE", "both")

@@ -12,11 +12,8 @@ run() {
   echo "=== $name rc=$? end $(date -u +%H:%M:%S)" >> logs/r5/queue.log
 }
 
-# VERDICT #2: steady-state multi-temporal benches (short)
-run t4_bench_b5 python scripts/bench_multitemporal.py \
-  --model efficientnet-unet-b5 --stack-time --bs 16
-run t4_bench_prithvi python scripts/bench_multitemporal.py \
-  --model fc-prithvi-backbone --bs 8
+# VERDICT #2 (T>1 steady-state benches) already measured and landed in
+# PERF_NOTES r5 (B5 T=4 407.1 img/s, fc-prithvi T=4 MFU 0.442) — skipped here.
 
 # VERDICT #1 + #8: large-batch equal-mIoU anchor + bs=32 control, both on a
 # 512-segment corpus with fused dispatch (steady-state reporting)
