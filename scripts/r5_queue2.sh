@@ -24,7 +24,7 @@ run hard_b5_int8 python scripts/train_convergence.py \
   --bs 32 --lr 3e-4 --epochs 40 --difficulty 0.7 --int8-eval
 
 run hard_b0_binary python scripts/train_convergence.py \
-  --model efficientnet-unet-b0 --label-map osm-binary-impervious \
+  --model efficientnet-unet-b0 --label-map osm-impervious-binary \
   --segments 128 --bs 32 --lr 1e-3 --epochs 40 --difficulty 0.7
 
 echo "=== QUEUE2 DONE $(date -u +%H:%M:%S)" >> logs/r5/queue.log
