@@ -49,7 +49,11 @@ def confusion_matrix_update(
     return counts.reshape(num_classes, num_classes)
 
 
-def compute_metrics(cm: jax.Array | np.ndarray, ignore_background: bool = False) -> dict:
+def compute_metrics(
+    cm: jax.Array | np.ndarray,
+    ignore_background: bool = False,
+    exclude_index: int | None = None,
+) -> dict:
     """Closed-form metrics from an accumulated confusion matrix.
 
     Returns mIoU (macro over classes with support, torchmetrics-Jaccard
@@ -61,6 +65,16 @@ def compute_metrics(cm: jax.Array | np.ndarray, ignore_background: bool = False)
     pixels. The reference only masked its confusion matrix while IoU/acc/F1
     included the background class (train_segmentation.py:53-63) — a
     documented inconsistency there; here the metrics agree with the loss.
+
+    ``exclude_index`` reproduces torchmetrics' ``ignore_index`` *averaging*
+    semantics (the reference's JaccardIndex/F1, train_segmentation.py:53-63):
+    the ignored class is dropped from the macro mean, but a prediction OF the
+    ignored class on a valid pixel still counts as a false negative of the
+    true class (its column stays in every other class's union). Without it, a
+    model that emits even a handful of stray background predictions hands
+    class 0 an IoU of ~0 and drags the macro mean — catastrophically for
+    binary maps, where mIoU then saturates at 0.5 (found by the hard-fixture
+    osm-impervious-binary anchor: acc 0.9999, mIoU 0.4999).
     """
     cm = np.asarray(cm, np.float64)
     if ignore_background:
@@ -74,6 +88,9 @@ def compute_metrics(cm: jax.Array | np.ndarray, ignore_background: bool = False)
         iou = np.where(union > 0, tp / np.maximum(union, 1e-12), np.nan)
         f1 = np.where((2 * tp + fp + fn) > 0, 2 * tp / np.maximum(2 * tp + fp + fn, 1e-12), np.nan)
         cm_norm = cm / np.maximum(support[:, None], 1e-12)
+    if exclude_index is not None and not ignore_background and 0 <= exclude_index < len(iou):
+        iou[exclude_index] = np.nan
+        f1[exclude_index] = np.nan
     present = ~np.isnan(iou)
     total = cm.sum()
     return {
@@ -106,7 +123,11 @@ class MetricAccumulator:
             self.loss_count += 1
 
     def compute(self, ignore_background_in_cm: bool = False) -> dict:
-        out = compute_metrics(self.cm, ignore_background=ignore_background_in_cm)
+        out = compute_metrics(
+            self.cm,
+            ignore_background=ignore_background_in_cm,
+            exclude_index=self.ignore_index,
+        )
         if self.loss_count:
             out["loss"] = self.loss_sum / self.loss_count
         return out

@@ -875,7 +875,9 @@ class SegmentationTrainer:
         if acc_cm is None:  # resumed epoch whose remaining batches were all skipped
             return {"loss": float("nan"), "images_per_sec": 0.0}
         n_run = n_batches - skip
-        out = metrics_lib.compute_metrics(np.asarray(acc_cm))
+        out = metrics_lib.compute_metrics(
+            np.asarray(acc_cm), exclude_index=self._metric_exclude_index()
+        )
         out["loss"] = float(acc_loss) / n_run
         out["images_per_sec"] = n_run * bs / max(time.time() - t0, 1e-9)
         return out
@@ -923,7 +925,9 @@ class SegmentationTrainer:
                 f"global batch ({cfg.datamodule.batch_size}) — reduce --bs, "
                 "the device count, or grow the dataset/split"
             )
-        out = metrics_lib.compute_metrics(np.asarray(acc_cm))
+        out = metrics_lib.compute_metrics(
+            np.asarray(acc_cm), exclude_index=self._metric_exclude_index()
+        )
         out["loss"] = float(acc_loss) / n
         out["images_per_sec"] = images_seen / max(time.time() - t0, 1e-9)
         return out
@@ -1079,8 +1083,17 @@ class SegmentationTrainer:
         pooled = jax.device_put(pool_batch_stats(stats_list), mesh_lib.replicated(self.mesh))
         self.state = self.state.replace(batch_stats=pooled)
 
+    def _metric_exclude_index(self) -> int | None:
+        """Class excluded from macro IoU/F1 averaging (torchmetrics
+        ignore_index semantics): the masked background class, whose stray
+        predictions otherwise average an IoU of ~0 into the macro mean —
+        see metrics.compute_metrics."""
+        return 0 if self.config.train.masked_loss else None
+
     def run_eval_epoch(self, split: str = "val") -> dict:
-        acc = metrics_lib.MetricAccumulator(self.config.num_classes)
+        acc = metrics_lib.MetricAccumulator(
+            self.config.num_classes, ignore_index=self._metric_exclude_index()
+        )
         it = prefetch_to_device(
             self.dm.eval_batches(split), sharding=self._data_sharding(), depth=2
         )

@@ -162,7 +162,7 @@ def main() -> None:
 
         predict_q, qstate = quantize_segmentation_trainer(trainer, n_batches=2)
         ignore = 0 if config.train.masked_loss else None
-        acc = metrics_lib.MetricAccumulator(config.num_classes)
+        acc = metrics_lib.MetricAccumulator(config.num_classes, ignore_index=ignore)
         # Float val on the SAME (final) state, so the int8 comparison is
         # apples-to-apples (best_val_iou may come from an earlier epoch).
         final_float = trainer.run_eval_epoch("val")

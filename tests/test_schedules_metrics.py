@@ -119,6 +119,34 @@ def test_metric_accumulator():
     assert acc.cm.sum() == 0
 
 
+def test_compute_metrics_exclude_index_binary_stray_background():
+    # The hard-fixture osm-impervious-binary anchor scenario: masked CM
+    # (row 0 empty — labeled-0 pixels never counted), model predicts class 1
+    # on 9999 valid pixels and class 0 on 1. torchmetrics ignore_index=0
+    # semantics: class 0 is dropped from the macro mean, but the stray
+    # background prediction still counts as a false negative of class 1.
+    cm = np.array([[0, 0], [1, 9999]], np.float64)
+    m = metrics.compute_metrics(cm)  # legacy: class-0 fp>0 -> IoU 0 averaged in
+    np.testing.assert_allclose(m["iou"], (0.0 + 9999 / 10000) / 2)
+    m = metrics.compute_metrics(cm, exclude_index=0)
+    np.testing.assert_allclose(m["iou"], 9999 / 10000)  # fn kept, class 0 dropped
+    np.testing.assert_allclose(m["f1"], 2 * 9999 / (2 * 9999 + 1))
+    assert np.isnan(m["per_class_iou"][0])
+    # accuracy is micro over valid pixels — the stray prediction stays wrong
+    np.testing.assert_allclose(m["accuracy"], 9999 / 10000)
+
+
+def test_metric_accumulator_ignore_index_excluded_from_macro():
+    acc = metrics.MetricAccumulator(num_classes=2, ignore_index=0)
+    acc.update(np.array([[0, 0], [2, 8]], np.float64))
+    out = acc.compute()
+    np.testing.assert_allclose(out["iou"], 8 / 10)
+    # without ignore_index the class-0 zero-IoU halves the mean (legacy trap)
+    legacy = metrics.MetricAccumulator(num_classes=2)
+    legacy.update(np.array([[0, 0], [2, 8]], np.float64))
+    np.testing.assert_allclose(legacy.compute()["iou"], (0.0 + 8 / 10) / 2)
+
+
 def test_compute_metrics_ignore_background():
     cm = np.array([[100, 0, 0], [0, 3, 1], [0, 1, 3]], np.float64)
     m = metrics.compute_metrics(cm, ignore_background=True)
