@@ -68,7 +68,6 @@ K = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))  # corpus mode
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "4"))  # timed fused windows
 STEPS = 20  # streamed mode
 WARMUP = 3
-PEAK_BF16 = 197e12  # TPU v5e bf16 peak FLOP/s
 
 _PACKED_EARLY_VALUES = {
     "0": False, "false": False, "off": False, "": False,
@@ -86,22 +85,11 @@ def _packed_early() -> bool | str:
 
 
 def _mfu(lower, n_steps: int, elapsed: float) -> float | None:
-    """MFU from XLA's own cost model (flops of the whole train-step program).
+    # Shared implementation (scan-body-counted-once caveat documented there)
+    # so this and scripts/bench_multitemporal.py can never diverge.
+    from s2tpu.train.profiling import mfu_from_lowered
 
-    XLA counts a lax.scan body ONCE (not x trip count), so the K-fused corpus
-    program's reported flops already equal one optimizer step's (verified:
-    corpus-mode MFU matched the streamed single-step MFU exactly at div=1,
-    and was 10x low at div=K).
-    """
-    try:
-        cost = lower().compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops_per_step = float(cost.get("flops", 0.0))
-        if flops_per_step > 0:
-            return flops_per_step * (n_steps / elapsed) / PEAK_BF16
-    except Exception:  # noqa: BLE001 — MFU is informational only
-        pass
-    return None
+    return mfu_from_lowered(lower, n_steps, elapsed)
 
 
 def _make_config(cfg_lib, batch: int):
@@ -233,9 +221,10 @@ def main() -> None:
                   "reporting corpus only", file=sys.stderr)
 
     sec_ips = sec_mfu = None
-    if SECONDARY_BATCH:
-        # Continuity datapoint at the historical batch — corpus mode only,
-        # and never allowed to break the headline record.
+    if SECONDARY_BATCH and SECONDARY_BATCH != BATCH and MODE in ("both", "corpus"):
+        # Continuity datapoint at the historical batch — corpus mode only
+        # (skipped when corpus mode is explicitly disabled or the batches
+        # coincide), and never allowed to break the headline record.
         try:
             sec_ips, sec_mfu = run_corpus(cfg_lib, dm, mesh, rng, SECONDARY_BATCH)
         except Exception as e:  # noqa: BLE001

@@ -1,10 +1,12 @@
 """Prithvi MAE pretrain/finetune config (parity: src/configs/prithvi_mae_finetune.py).
 
 Carries over the MAE linear LR-scaling rule ``lr = base * effective_bs / 256``
-where the effective batch size is ``batch_size * num_devices`` — here the
-device count is the data-parallel mesh size, so the rule is exercised for
-real multi-chip runs rather than being latent as in the reference
-(prithvi_mae_finetune.py:117-118).
+(prithvi_mae_finetune.py:101-118). In the reference the loader batch is
+per-device and ``effective_bs = batch_size * devices``; here
+``datamodule.batch_size`` is already the GLOBAL per-optimizer-step batch
+(sharded over the data mesh / split across processes), so the effective batch
+is the configured batch itself — multiplying by the device count would
+double-count and over-scale the LR by the mesh size on multi-chip runs.
 """
 
 from __future__ import annotations
@@ -12,7 +14,6 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass, field
 
-import jax
 
 from s2tpu.configs.data_config import BandsMixin
 
@@ -146,10 +147,9 @@ def base_config(aoi: str = "at") -> MAEConfig:
 
 
 def _effective_bs(config: MAEConfig) -> int:
-    n = config.train.num_devices
-    if n == -1:
-        n = jax.device_count()
-    return config.datamodule.batch_size * n
+    # Global samples per optimizer step — see the module docstring for why
+    # there is no device-count multiplication (batch_size is already global).
+    return config.datamodule.batch_size
 
 
 def pretrain(config: MAEConfig) -> MAEConfig:

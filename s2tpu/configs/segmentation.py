@@ -311,16 +311,16 @@ RunType = typing.Literal["train", "debug", "overfit", "tune"]
 
 
 def effective_batch_size(config: Config) -> int:
-    """Global samples per optimizer step: per-host batch x data-parallel mesh
-    size (``num_devices=-1`` = all visible devices, as the trainer resolves it).
-    ``grad_accum_steps`` does NOT multiply — accumulation splits the same
-    batch into microbatches (TrainConfig.grad_accum_steps)."""
-    import jax
-
-    n = config.train.num_devices
-    if n == -1:
-        n = jax.device_count()
-    return config.datamodule.batch_size * n
+    """Global samples per optimizer step — which is ``datamodule.batch_size``
+    itself: unlike the reference, where Lightning's loader batch is PER-DEVICE
+    and must be multiplied by ``devices`` (prithvi_mae_finetune.py:117-118),
+    this framework's batch is global by construction (sharded over the data
+    mesh, trainer.py:198; split across processes, pipeline.py:90), so a
+    device/process multiplication here would double-count and over-scale the
+    LR by the mesh size on multi-chip runs. ``grad_accum_steps`` does NOT
+    multiply either — accumulation splits the same batch into microbatches
+    (TrainConfig.grad_accum_steps)."""
+    return config.datamodule.batch_size
 
 
 def apply_linear_lr_scaling(config: Config, reference_bs: int = 32) -> Config:

@@ -308,9 +308,9 @@ def make_synthetic_fixture(
     * label noise: a ``0.1 * difficulty`` fraction of label pixels is
       re-drawn uniformly (the image keeps the TRUE class spectrum) —
       irreducible error that caps attainable val mIoU below 1;
-    * rare classes: class-boundary quantiles are power-skewed
-      (``u ** (1 + 2 * difficulty)``) so high-index classes shrink toward
-      a few percent of pixels, exposing sparse-class metric handling.
+    * rare classes: class-boundary quantiles are root-skewed
+      (``u ** (1 / (1 + 2 * difficulty))``) so high-index classes shrink
+      toward a few percent of pixels, exposing sparse-class metric handling.
     """
     assert 0.0 <= difficulty <= 1.0, f"difficulty must be in [0, 1], got {difficulty}"
     from s2tpu.geo.tiff import GeoInfo, write_geotiff
@@ -333,9 +333,9 @@ def make_synthetic_fixture(
             )
         u = np.linspace(0, 1, num_classes + 1)[1:-1]
         if difficulty > 0:
-            # Root-skew pushes the class boundaries left: class 0 (unlabeled,
-            # loss-ignored) grows while HIGH-index foreground classes shrink
-            # to a few percent of pixels — rare-class stress on the metrics.
+            # Root-skew pushes the boundary quantiles toward 1: class 0
+            # (unlabeled, loss-ignored) grows while HIGH-index foreground
+            # classes shrink to a few percent — rare-class metric stress.
             u = u ** (1.0 / (1.0 + 2.0 * difficulty))
         quantiles = np.quantile(field, u)
         labels = np.digitize(field, quantiles).astype(np.uint8)

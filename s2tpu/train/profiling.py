@@ -81,3 +81,35 @@ def profile_step_fn(
                 out = step_fn(*args_fn())
             jax.block_until_ready(out)
     return summary
+
+
+TPU_V5E_PEAK_BF16 = 197e12  # bf16 peak FLOP/s of one v5e chip
+
+
+def mfu_from_lowered(
+    lower: typing.Callable[[], typing.Any],
+    n_steps: int,
+    elapsed_s: float,
+    peak_flops: float = TPU_V5E_PEAK_BF16,
+) -> float | None:
+    """MFU from XLA's own cost model on a lowered step program.
+
+    ``lower`` is a thunk returning ``jitted.lower(*args)``; the compiled
+    program's ``cost_analysis()`` flops are taken as one optimizer step's.
+    XLA counts a lax.scan body ONCE (not x trip count), so a K-fused
+    steps-per-dispatch program reports one step's flops already (verified in
+    bench.py: corpus-mode MFU matched the streamed single-step MFU exactly at
+    div=1 and was 10x low at div=K). Shared by bench.py and
+    scripts/bench_multitemporal.py so MFU accounting can never diverge
+    between the published columns. Returns None when cost analysis is
+    unavailable (MFU is informational only).
+    """
+    try:
+        cost = lower().compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_per_step = float(cost.get("flops", 0.0))
+        if flops_per_step > 0:
+            return flops_per_step * (n_steps / elapsed_s) / peak_flops
+    except Exception:  # noqa: BLE001
+        pass
+    return None

@@ -36,8 +36,6 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 jax.config.update("jax_compilation_cache_dir", "/tmp/s2tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-PEAK_BF16 = 197e12  # TPU v5e bf16 peak FLOP/s
-
 
 def main() -> None:
     p = argparse.ArgumentParser()
@@ -120,17 +118,14 @@ def main() -> None:
     n_steps = args.windows * K
     ips = B * n_steps / elapsed
 
-    mfu = None
-    try:
-        cost = trainer.train_step_indexed_multi.lower(
+    from s2tpu.train.profiling import mfu_from_lowered
+
+    mfu = mfu_from_lowered(
+        lambda: trainer.train_step_indexed_multi.lower(
             state, trainer.corpus.images, trainer.corpus.labels, *draw(), trainer.base_rng
-        ).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            mfu = flops * (n_steps / elapsed) / PEAK_BF16
-    except Exception:  # noqa: BLE001 — MFU is informational only
-        pass
+        ),
+        n_steps, elapsed,
+    )
 
     tag = args.model.replace("efficientnet-unet", "effunet").replace("-", "_")
     record = {

@@ -115,7 +115,9 @@ def main() -> None:
 
     tuned_cfg = apply_trial(cfg0, best.params, args.converge_epochs)
     tuned = converge(tuned_cfg, "tuned")
-    default = converge(base_config_with_dist(base_config, dist), "default")
+    default_cfg = base_config()
+    default_cfg.train.class_distribution = dist.tolist()
+    default = converge(default_cfg, "default")
 
     record = {
         "model": args.model,
@@ -149,12 +151,6 @@ def main() -> None:
     existing.append(record)
     out.write_text(json.dumps(existing, indent=2) + "\n")
     print(json.dumps(record))
-
-
-def base_config_with_dist(base_config, dist):
-    c = base_config()
-    c.train.class_distribution = dist.tolist()
-    return c
 
 
 if __name__ == "__main__":

@@ -115,11 +115,15 @@ def test_unet_rejects_multi_frame():
 
 
 def test_mae_lr_scaling():
+    """effective_bs is the GLOBAL batch (already sharded over the mesh), so
+    the device count must NOT multiply into the MAE LR rule — the reference's
+    batch_size*devices applies to Lightning's PER-DEVICE loader batch
+    (prithvi_mae_finetune.py:117-118), a different batch semantic."""
     from s2tpu.configs import mae
 
     c = mae.base_config()
-    c.train.num_devices = 4
+    c.train.num_devices = 4  # must not change the effective batch
     c = mae.pretrain(c)
     assert c.datamodule.batch_size == 64
     assert c.train.from_scratch is True
-    np.testing.assert_allclose(c.train.lr, 1.5e-4 * 64 * 4 / 256)
+    np.testing.assert_allclose(c.train.lr, 1.5e-4 * 64 / 256)

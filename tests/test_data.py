@@ -304,13 +304,17 @@ def test_synthetic_fixture_difficulty(tmp_path):
 
 def test_linear_lr_scaling_rule():
     """configs.segmentation.apply_linear_lr_scaling: lr scales by
-    effective_bs/reference_bs with effective_bs = batch * data-mesh size."""
+    effective_bs/reference_bs where effective_bs is the GLOBAL batch itself —
+    datamodule.batch_size is already per-optimizer-step across the whole data
+    mesh (trainer shards it; pipeline splits it across processes), so the
+    device count must NOT multiply (it would over-scale LR by the mesh size
+    on multi-chip runs)."""
     from s2tpu.configs import segmentation as cfg_lib
 
     c = cfg_lib.base_config("efficientnet-unet-b0", aoi="small", label_map="osm-multiclass")
     c.datamodule.batch_size = 128
-    c.train.num_devices = 2
+    c.train.num_devices = 2  # must not change the effective batch
     c.train.lr = 3e-4
     cfg_lib.apply_linear_lr_scaling(c, reference_bs=32)
-    assert np.isclose(c.train.lr, 3e-4 * (128 * 2) / 32)
-    assert cfg_lib.effective_batch_size(c) == 256
+    assert np.isclose(c.train.lr, 3e-4 * 128 / 32)
+    assert cfg_lib.effective_batch_size(c) == 128
