@@ -169,7 +169,9 @@ def test_cli_parsers_accept_reference_surface():
     mcfg = mae_cfg_fn(margs)
     assert mcfg.train.from_scratch is True
     assert mcfg.datamodule.batch_size == 64
-    np.testing.assert_allclose(mcfg.train.lr, 1.5e-4 * 64 * 4 / 256)
+    # effective_bs is the GLOBAL batch — --num-devices must not multiply
+    # into the LR rule (configs/mae.py module docstring).
+    np.testing.assert_allclose(mcfg.train.lr, 1.5e-4 * 64 / 256)
 
     from s2tpu.cli.download_sentinel import main as ds_main
     from s2tpu.cli.download_labels import main as dl_main
