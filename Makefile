@@ -4,8 +4,8 @@ test:
 	python -m pytest tests/ -x -q
 
 # Fast tier: skips @pytest.mark.slow (multi-process sims, convergence runs,
-# full-scale parity) — measured 3:07 (242 tests, uncontended 1-core box,
-# 2026-08-19) vs ~50 min for the full suite.
+# full-scale parity) — measured 5:25 (258 tests, uncontended 1-core box,
+# 2026-08-21) vs ~50 min for the full suite.
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 
